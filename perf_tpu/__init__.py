@@ -1,0 +1,24 @@
+"""perf_tpu — a TPU-native single-panorama radiance-field framework.
+
+Rebuilds the capabilities of perf-project/PeRF (PeRF, TPAMI 2024) as an
+idiomatic JAX/XLA/Pallas framework:
+
+- ``perf_tpu.core``     — spherical camera math, rays, resampling, tangent cameras
+- ``perf_tpu.kernels``  — hash-grid encoding (XLA + Pallas), distortion loss
+- ``perf_tpu.fields``   — NGP radiance field, sphere distance field, MLPs
+- ``perf_tpu.render``   — occupancy grid, dense masked ray marching, compositing
+- ``perf_tpu.train``    — supervision pool, episode runner, checkpointing
+- ``perf_tpu.parallel`` — device mesh + sharding helpers
+- ``perf_tpu.priors``   — mono depth/normal predictors + pano fusion/distillation
+- ``perf_tpu.inpaint``  — inpainting backends + pano-perspective fusion
+- ``perf_tpu.pose``     — anchor/trajectory pose samplers
+- ``perf_tpu.app``      — CoreRunner orchestration + CLI
+
+Design stance (vs the reference): dense masked ``[rays, samples]`` layouts
+instead of packed CSR (nerfacc), a single jitted train/render step instead of
+per-op CUDA kernels, pjit/mesh sharding of the ray axis instead of no
+distribution at all, and batched prior inference instead of per-view
+CPU<->GPU model shuffling.
+"""
+
+__version__ = "0.1.0"
