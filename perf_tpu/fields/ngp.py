@@ -1,0 +1,162 @@
+"""The NGP radiance field: two independent hash-grid + MLP networks.
+
+Behavioral counterpart of the reference's ``modules/fields/ngp_nerf.py``:
+
+- ``geo`` head: 16-level hash grid (2^18 table, base 16, growth 1.44727) into
+  a 64-wide 1-hidden-layer MLP -> 1 channel; density activation is a
+  truncated exp whose backward clamps the pre-activation at 15
+  (``ngp_nerf.py:24-40``).
+- ``app`` head: same grid config into a 64-wide 2-hidden-layer MLP -> 3
+  channels with sigmoid. No view dependence (``use_viewdirs=False``).
+- AABB [-1,1]^3: positions are normalized to [0,1]; a selector zeroes
+  density/rgb outside (``ngp_nerf.py:136-162``).
+- ``reset_geo``: re-initializes ONLY the geo subtree (``ngp_nerf.py:178-197``)
+  — with param pytrees this is just re-sampling one leaf set.
+
+Also provides ``NGPDensityFieldConfig`` (the 5-level proposal field,
+``ngp_nerf.py:200-266``) for the prop-renderer path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.hashgrid import HashGridConfig, hash_encode, init_hash_table
+from .mlp import ngp_mlp_init, ngp_mlp_apply
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with gradient computed at x clamped to <= 15 (torch-ngp trick)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.minimum(x, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPFieldConfig:
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+    grid: HashGridConfig = HashGridConfig(
+        n_levels=16, n_features=2, log2_table_size=18,
+        base_res=16, per_level_scale=1.4472692012786865)
+    n_neurons: int = 64
+    geo_hidden: int = 1
+    app_hidden: int = 2
+
+    def normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x - self.aabb_min) / (self.aabb_max - self.aabb_min)
+
+    def selector(self, x01: jnp.ndarray) -> jnp.ndarray:
+        return ((x01 > 0.0) & (x01 < 1.0)).all(axis=-1)
+
+
+def init_geo_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "table": init_hash_table(k1, cfg.grid),
+        "mlp": ngp_mlp_init(k2, cfg.grid.out_dim, 1, cfg.n_neurons, cfg.geo_hidden),
+    }
+
+
+def init_app_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "table": init_hash_table(k1, cfg.grid),
+        "mlp": ngp_mlp_init(k2, cfg.grid.out_dim, 3, cfg.n_neurons, cfg.app_hidden),
+    }
+
+
+def init_ngp_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
+    kg, ka = jax.random.split(key)
+    return {"geo": init_geo_params(kg, cfg), "app": init_app_params(ka, cfg)}
+
+
+def reset_geo(params: dict, key: jax.Array, cfg: NGPFieldConfig) -> dict:
+    """Fresh geometry network, appearance untouched (``ngp_nerf.py:178``)."""
+    return {**params, "geo": init_geo_params(key, cfg)}
+
+
+def query_density(geo_params: dict, x: jnp.ndarray,
+                  cfg: NGPFieldConfig) -> jnp.ndarray:
+    """Density at world positions x [..., 3] -> [..., 1]."""
+    shape = x.shape[:-1]
+    x01 = cfg.normalize(x.reshape(-1, 3))
+    sel = cfg.selector(x01)
+    feats = hash_encode(geo_params["table"], x01, cfg.grid)
+    raw = ngp_mlp_apply(geo_params["mlp"], feats)
+    density = trunc_exp(raw) * sel[..., None]
+    return density.reshape(*shape, 1)
+
+
+def query_rgb(app_params: dict, x: jnp.ndarray,
+              cfg: NGPFieldConfig) -> jnp.ndarray:
+    """RGB at world positions x [..., 3] -> [..., 3] (position-only)."""
+    shape = x.shape[:-1]
+    x01 = cfg.normalize(x.reshape(-1, 3))
+    sel = cfg.selector(x01)
+    feats = hash_encode(app_params["table"], x01, cfg.grid)
+    rgb = ngp_mlp_apply(app_params["mlp"], feats, out_activation=jax.nn.sigmoid)
+    rgb = rgb * sel[..., None]
+    return rgb.reshape(*shape, 3)
+
+
+def query_rgb_density(params: dict, x: jnp.ndarray, cfg: NGPFieldConfig):
+    return query_rgb(params["app"], x, cfg), query_density(params["geo"], x, cfg)
+
+
+# ---------------------------------------------------------------------------
+# proposal density field (reference NGPDensityField, prop path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NGPDensityFieldConfig:
+    aabb_min: float = -1.0
+    aabb_max: float = 1.0
+    base_res: int = 16
+    max_res: int = 128
+    n_levels: int = 5
+    log2_table_size: int = 17
+    n_neurons: int = 64
+
+    @property
+    def grid(self) -> HashGridConfig:
+        scale = float(np.exp((np.log(self.max_res) - np.log(self.base_res))
+                             / (self.n_levels - 1)))
+        return HashGridConfig(n_levels=self.n_levels, n_features=2,
+                              log2_table_size=self.log2_table_size,
+                              base_res=self.base_res, per_level_scale=scale)
+
+
+def init_density_field(key: jax.Array, cfg: NGPDensityFieldConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "table": init_hash_table(k1, cfg.grid),
+        "mlp": ngp_mlp_init(k2, cfg.grid.out_dim, 1, cfg.n_neurons, 1),
+    }
+
+
+def query_density_field(params: dict, x: jnp.ndarray,
+                        cfg: NGPDensityFieldConfig) -> jnp.ndarray:
+    """Proposal density; activation trunc_exp(x - 1) (``ngp_nerf.py:206``)."""
+    shape = x.shape[:-1]
+    x01 = (x.reshape(-1, 3) - cfg.aabb_min) / (cfg.aabb_max - cfg.aabb_min)
+    sel = ((x01 > 0.0) & (x01 < 1.0)).all(axis=-1)
+    feats = hash_encode(params["table"], x01, cfg.grid)
+    raw = ngp_mlp_apply(params["mlp"], feats)
+    density = trunc_exp(raw - 1.0) * sel[..., None]
+    return density.reshape(*shape, 1)
