@@ -1,0 +1,284 @@
+"""NeRFScene: the per-episode training state machine.
+
+Counterpart of the reference's ``modules/scene/nerf.py``. One ``fit(pool)``
+episode =
+
+1. rebuild the occupancy grid from the pool's back-projected points
+   (the reference warm-starts a fresh nerfacc estimator from the same grid
+   over 256 EMA steps — a fixpoint we take directly; the grid then stays
+   FIXED for the episode, as in the reference's executed path),
+2. reset the geometry network (``nerf.py:170``),
+3. geometry phase: ``raw_phase_iter_geo`` steps of depth smooth-L1 (beta
+   1e-2) + ramped distortion loss, appearance frozen (``app_inference``),
+4. appearance phase: ``raw_phase_iter_app`` steps of color smooth-L1
+   (beta 5e-2), geometry frozen (``geo_inference``),
+
+with the trapezoid+cosine LR schedule per phase and a fresh Adam per episode.
+
+TPU shape: each phase runs as ``lax.scan`` chunks of one fully-jitted step
+(sample batch -> march -> field -> composite -> loss -> adam update), so an
+episode is a handful of device dispatches. Batches are sampled inside the
+step from the padded pool arrays; the pool's valid count is a device scalar,
+so growing supervision never recompiles (until capacity doubles).
+
+Faithfully reproduced quirks (documented, load-bearing):
+- the distortion ramp uses progress measured in APP-phase iterations even
+  during the geo phase (``nerf.py:178``: ``progress=iter_i / app_res_iters``),
+- torch Adam defaults (betas 0.9/0.999, eps 1e-8); the reference's
+  GradScaler(2^7) never unscales, which plain Adam absorbs, so it is omitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import (
+    Rays, apply_rot, direction_to_img_coord, bilinear_sample,
+    binary_open_close,
+)
+from ..fields import NGPFieldConfig, init_ngp_params, reset_geo
+from ..render import RenderConfig, render_rays, render_image
+from ..kernels.distortion import distortion_loss
+from .schedule import OptimConfig, lr_at, smooth_l1
+from .sup_pool import SupInfoPool
+from ..utils.metrics import MetricsWriter, phase_timer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    raw_phase_iter_geo: int = 3000
+    raw_phase_iter_app: int = 1500
+    pixel_loss_batch_size: int = 8192
+    color_loss_weight: float = 1.0
+    depth_loss_weight: float = 1.0
+    distortion_loss_weight: float = 0.1
+    density_loss_weight: float = 0.0
+    geo_optimizer: OptimConfig = OptimConfig()
+    app_optimizer: OptimConfig = OptimConfig()
+    scan_chunk: int = 100
+    # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
+    ignore_near: bool = True
+    cross_depth_check: bool = True
+
+
+def _adam():
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+class NeRFScene:
+    """Owns field params + train/render configs; provides fit/render."""
+
+    def __init__(self, field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
+                 train_cfg: TrainConfig, key: jax.Array,
+                 writer: MetricsWriter | None = None):
+        self.field_cfg = field_cfg
+        self.render_cfg = render_cfg
+        self.train_cfg = train_cfg
+        self.writer = writer or MetricsWriter(None)
+        key, k = jax.random.split(key)
+        self.key = key
+        self.params = init_ngp_params(k, field_cfg)
+        self.occ_grid = jnp.zeros((render_cfg.occ_res ** 3,), jnp.uint8)
+        self.global_iter_geo = 0
+        self.global_iter_app = 0
+        self._phase_fns = {}
+
+    # -- helpers -------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _sample_batch(self, arrs, key):
+        b = self.train_cfg.pixel_loss_batch_size
+        u = jax.random.uniform(key, (b,))
+        idx = jnp.minimum((u * arrs["n_valid"]).astype(jnp.int32),
+                          arrs["n_valid"] - 1)
+        return (arrs["rays_o"][idx], arrs["rays_d"][idx], arrs["colors"][idx],
+                arrs["distances"][idx])
+
+    # -- jitted phase runners --------------------------------------------------
+
+    def _get_phase_fn(self, phase: str, capacity: int):
+        cache_key = (phase, capacity)
+        if cache_key in self._phase_fns:
+            return self._phase_fns[cache_key]
+
+        tc = self.train_cfg
+        fc = self.field_cfg
+        rc = self.render_cfg
+        adam = _adam()
+
+        def geo_step(app_params, occ, arrs, carry, i):
+            geo, opt_state, key = carry
+            key, k_idx, k_render, k_dens = jax.random.split(key, 4)
+            o, d, _, gt_dist = self._sample_batch(arrs, k_idx)
+            progress_lr = i / tc.raw_phase_iter_geo
+            progress_dist = i / tc.raw_phase_iter_app  # reference quirk
+
+            def loss_fn(geo_p):
+                out = render_rays({"geo": geo_p, "app": app_params}, fc, occ,
+                                  o, d, k_render, rc, train=True,
+                                  stop_app_grad=True)
+                depth_l = smooth_l1(out["distance"], gt_dist, beta=1e-2)
+                dist_l = distortion_loss(out["weights"], out["t_mid"],
+                                         rc.step, out["valid"])
+                ratio = jnp.minimum(progress_dist * 2.0, 1.0)
+                loss = (depth_l * tc.depth_loss_weight
+                        + dist_l * tc.distortion_loss_weight * ratio)
+                if tc.density_loss_weight > 1e-7:
+                    pts = (jax.random.uniform(k_dens, (8192, 3)) * 2 - 1) * 0.99
+                    from ..fields import query_density
+                    loss = loss + tc.density_loss_weight * jnp.mean(
+                        query_density(geo_p, pts, fc))
+                return loss, (depth_l, dist_l)
+
+            (loss, (depth_l, dist_l)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(geo)
+            updates, opt_state = adam.update(grads, opt_state)
+            lr = lr_at(progress_lr, tc.geo_optimizer)
+            geo = jax.tree_util.tree_map(lambda p, u: p - lr * u, geo, updates)
+            return (geo, opt_state, key), jnp.stack([loss, depth_l, dist_l, lr])
+
+        def app_step(geo_params, occ, arrs, carry, i):
+            app, opt_state, key = carry
+            key, k_idx, k_render = jax.random.split(key, 3)
+            o, d, gt_col, _ = self._sample_batch(arrs, k_idx)
+            progress = i / tc.raw_phase_iter_app
+
+            def loss_fn(app_p):
+                out = render_rays({"geo": geo_params, "app": app_p}, fc, occ,
+                                  o, d, k_render, rc, train=True,
+                                  stop_geo_grad=True)
+                color_l = smooth_l1(out["rgb"], gt_col, beta=5e-2)
+                return color_l * tc.color_loss_weight, color_l
+
+            (loss, color_l), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(app)
+            updates, opt_state = adam.update(grads, opt_state)
+            lr = lr_at(progress, tc.app_optimizer)
+            app = jax.tree_util.tree_map(lambda p, u: p - lr * u, app, updates)
+            return (app, opt_state, key), jnp.stack([loss, color_l, lr])
+
+        step_fn = geo_step if phase == "geo" else app_step
+
+        @jax.jit
+        def run_chunk(train_params, frozen_params, opt_state, occ, arrs, key,
+                      step0):
+            def body(carry, i):
+                return step_fn(frozen_params, occ, arrs, carry, step0 + i)
+            (train_params, opt_state, key), losses = jax.lax.scan(
+                body, (train_params, opt_state, key),
+                jnp.arange(tc.scan_chunk, dtype=jnp.float32))
+            return train_params, opt_state, key, losses
+
+        self._phase_fns[cache_key] = run_chunk
+        return run_chunk
+
+    def _run_phase(self, phase: str, arrs, capacity: int, n_iters: int):
+        run_chunk = self._get_phase_fn(phase, capacity)
+        tc = self.train_cfg
+        if phase == "geo":
+            train_params, frozen = self.params["geo"], self.params["app"]
+        else:
+            train_params, frozen = self.params["app"], self.params["geo"]
+        opt_state = _adam().init(train_params)
+        key = self._next_key()
+        all_losses = []
+        assert n_iters % tc.scan_chunk == 0, \
+            f"{phase} iters {n_iters} must be divisible by scan_chunk {tc.scan_chunk}"
+        for c in range(n_iters // tc.scan_chunk):
+            train_params, opt_state, key, losses = run_chunk(
+                train_params, frozen, opt_state, self.occ_grid, arrs, key,
+                jnp.asarray(c * tc.scan_chunk, jnp.float32))
+            all_losses.append(losses)
+        losses = np.asarray(jnp.concatenate(all_losses, 0))
+
+        if phase == "geo":
+            self.params = {**self.params, "geo": train_params}
+            for j in range(0, n_iters, max(n_iters // 30, 1)):
+                self.writer.add_scalars(
+                    {"nerf_loss/depth_loss": losses[j, 1],
+                     "nerf_loss/dist_loss": losses[j, 2],
+                     "others/lr_geo": losses[j, 3]},
+                    self.global_iter_geo + j)
+            self.global_iter_geo += n_iters
+        else:
+            self.params = {**self.params, "app": train_params}
+            for j in range(0, n_iters, max(n_iters // 30, 1)):
+                self.writer.add_scalars(
+                    {"nerf_loss/color_loss": losses[j, 1],
+                     "others/lr_app": losses[j, 2]},
+                    self.global_iter_app + j)
+            self.global_iter_app += n_iters
+        return losses
+
+    # -- public API ------------------------------------------------------------
+
+    def fit(self, sup_pool: SupInfoPool):
+        """One training episode over the current pool (``nerf.py:125-184``)."""
+        tc = self.train_cfg
+        self.occ_grid = sup_pool.gen_occ_grid(self.render_cfg.occ_res)
+        self.params = reset_geo(self.params, self._next_key(), self.field_cfg)
+        arrs = sup_pool.device_arrays()
+        capacity = int(arrs["rays_o"].shape[0])
+        n_rays = tc.pixel_loss_batch_size
+        with phase_timer(self.writer, "fit_geo", self.global_iter_geo,
+                         tc.raw_phase_iter_geo * n_rays, "rays"):
+            geo_losses = self._run_phase("geo", arrs, capacity,
+                                         tc.raw_phase_iter_geo)
+        with phase_timer(self.writer, "fit_app", self.global_iter_app,
+                         tc.raw_phase_iter_app * n_rays, "rays"):
+            app_losses = self._run_phase("app", arrs, capacity,
+                                         tc.raw_phase_iter_app)
+        self.writer.flush()
+        return {"geo_losses": geo_losses, "app_losses": app_losses}
+
+    def render(self, rays: Rays, query_keys=("rgb",), key=None, chunk=32768):
+        """Chunked eval render (``nerf.py:74-99``)."""
+        return render_image(self.params, self.field_cfg, self.occ_grid, rays,
+                            key if key is not None else self._next_key(),
+                            self.render_cfg, query_keys=query_keys,
+                            chunk=chunk)
+
+    def get_pano_visibility_mask(self, sup_pool: SupInfoPool,
+                                 rays: Rays) -> jnp.ndarray:
+        """1 where the rendered surface is already seen by some registered
+        pano, 0 where it is new content (``nerf.py:321-358``)."""
+        distance = self.render(rays, query_keys=("distance",))["distance"]
+        pts = rays.o + rays.d * distance
+        h, w = pts.shape[:2]
+        mask = jnp.zeros((h, w, 1))
+        for info in sup_pool.sup_infos:
+            sup_dmap = jnp.asarray(info.distance_map * info.mask)
+            rel = pts - jnp.asarray(info.pose[:3, 3])
+            local = apply_rot(rel, jnp.asarray(info.pose[:3, :3].T))
+            new_d = jnp.linalg.norm(local, axis=-1, keepdims=True)
+            coords = direction_to_img_coord(local / new_d)
+            proj_d = bilinear_sample(sup_dmap, coords, padding="border")
+            visible = (new_d < proj_d + 1.0 / 256.0).astype(jnp.float32)
+            mask = jnp.maximum(mask, visible)
+        return binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
+                                 small=5, large=9)
+
+    # -- state -----------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "occ_grid": np.asarray(self.occ_grid),
+            "global_iter_geo": self.global_iter_geo,
+            "global_iter_app": self.global_iter_app,
+        }
+
+    def load_state_dict(self, state: dict):
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.occ_grid = jnp.asarray(state["occ_grid"])
+        self.global_iter_geo = int(state["global_iter_geo"])
+        self.global_iter_app = int(state["global_iter_app"])

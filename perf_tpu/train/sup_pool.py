@@ -1,0 +1,219 @@
+"""Supervision pool: registered RGB-D(-N) panoramas -> flat ray supervision.
+
+Counterpart of the reference's ``modules/dataset/sup_info.py`` (PanoSupInfo /
+SupInfoPool). Per registered pano we
+
+- filter supervision pixels: mask AND distance > 1e-5 AND non-edge (depth
+  Laplacian opening) AND, when normals exist, normal·(-view dir) > 0.15
+  (``sup_info.py:469-482``),
+- precompute flat rays / colors / distances / normals at the kept pixels.
+
+TPU-first storage: the concatenated pool arrays live as NumPy on the host
+(appends happen ~25 times per run — cold path) and are uploaded per episode
+PADDED to a power-of-two capacity, so the jitted train step never changes
+shape as the pool grows; the valid count rides along as a device scalar and
+samplers draw ``floor(u * n_valid)``. This fixes the reference's broken
+sup-pool serialization as a side effect (``sup_info.py:728-755`` saves
+unformatted keys and never restores — our pool round-trips losslessly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import (
+    Rays, img_coord_from_hw, img_coord_to_pano_direction, apply_rot,
+    edge_keep_mask, direction_to_img_coord, bilinear_sample,
+    binary_open_close,
+)
+from ..render import occ_grid_from_points
+
+
+@dataclasses.dataclass
+class PanoSupInfo:
+    """One registered pano's full maps + flat filtered supervision arrays."""
+
+    pose: np.ndarray          # [4, 4]
+    height: int
+    width: int
+    color_map: np.ndarray     # [H, W, 3]
+    distance_map: np.ndarray  # [H, W, 1]
+    normal_map: np.ndarray    # [H, W, 3]
+    mask: np.ndarray          # [H, W, 1] bool — filtered supervision mask
+    mask_raw: np.ndarray      # [H, W, 1] bool — input mask & distance>0
+    sup_rays_o: np.ndarray    # [M, 3]
+    sup_rays_d: np.ndarray    # [M, 3]
+    sup_colors: np.ndarray    # [M, 3]
+    sup_distances: np.ndarray # [M, 1]
+    sup_normals: np.ndarray   # [M, 3]
+
+
+def build_pano_sup_info(pose, mask, color_map, distance_map,
+                        normal_map=None) -> PanoSupInfo:
+    """Filter + flatten one pano (reference ``PanoSupInfo.__init__``)."""
+    pose = np.asarray(pose, np.float32)
+    color_map = np.asarray(color_map, np.float32)
+    h, w, _ = color_map.shape
+    if distance_map is None:
+        distance_map = np.ones((h, w, 1), np.float32)
+    distance_map = np.asarray(distance_map, np.float32).reshape(h, w, -1)[..., :1]
+    if mask is None:
+        m = np.ones((h, w, 1), bool)
+    else:
+        m = (np.asarray(mask, np.float32).reshape(h, w, -1)[..., :1] > 0.5)
+
+    has_normal = normal_map is not None
+    if normal_map is None:
+        normal_map = np.zeros((h, w, 3), np.float32)
+    normal_map = np.asarray(normal_map, np.float32)
+
+    m = m & (distance_map > 1e-5)
+    mask_raw = m.copy()
+
+    # depth-discontinuity filter (jnp morphology, pulled back to host)
+    keep = np.asarray(edge_keep_mask(jnp.asarray(distance_map), 0.01))
+    m = m & keep
+
+    if has_normal:
+        pano_dirs = -np.asarray(img_coord_to_pano_direction(img_coord_from_hw(h, w)))
+        normal_cos = np.clip((pano_dirs * normal_map).sum(-1, keepdims=True), 0.0, 1.0)
+        m = m & (normal_cos > 0.15)
+
+    dirs = np.asarray(apply_rot(
+        img_coord_to_pano_direction(img_coord_from_hw(h, w)),
+        jnp.asarray(pose[:3, :3])))
+    sel = m[..., 0]
+    return PanoSupInfo(
+        pose=pose, height=h, width=w,
+        color_map=color_map, distance_map=distance_map,
+        normal_map=normal_map, mask=m, mask_raw=mask_raw,
+        sup_rays_o=np.broadcast_to(pose[:3, 3], dirs.shape)[sel],
+        sup_rays_d=dirs[sel],
+        sup_colors=color_map[sel],
+        sup_distances=distance_map[sel],
+        sup_normals=normal_map[sel],
+    )
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class SupInfoPool:
+    """Growing pool of registered panos + concatenated supervision arrays."""
+
+    def __init__(self):
+        self.sup_infos: list[PanoSupInfo] = []
+        self._cat = None  # dict of concatenated numpy arrays
+
+    # -- registration -------------------------------------------------------
+
+    def register_sup_info(self, pose, mask, rgb, distance, normal=None):
+        info = build_pano_sup_info(pose, mask, rgb, distance, normal)
+        self.sup_infos.append(info)
+        arrays = {
+            "rays_o": info.sup_rays_o, "rays_d": info.sup_rays_d,
+            "colors": info.sup_colors, "distances": info.sup_distances,
+            "normals": info.sup_normals,
+        }
+        if self._cat is None:
+            self._cat = {k: v.copy() for k, v in arrays.items()}
+        else:
+            self._cat = {k: np.concatenate([self._cat[k], arrays[k]], 0)
+                         for k in self._cat}
+
+    @property
+    def n_valid(self) -> int:
+        return 0 if self._cat is None else self._cat["rays_o"].shape[0]
+
+    # -- device views -------------------------------------------------------
+
+    def device_arrays(self, capacity: int | None = None) -> dict:
+        """Padded device arrays + n_valid scalar. Capacity defaults to the
+        next power of two (shape-stable across episodes)."""
+        n = self.n_valid
+        cap = capacity or _next_pow2(max(n, 1))
+        assert cap >= n
+        out = {}
+        for k, v in self._cat.items():
+            pad = np.zeros((cap - n,) + v.shape[1:], v.dtype)
+            out[k] = jnp.asarray(np.concatenate([v, pad], 0))
+        out["n_valid"] = jnp.asarray(n, jnp.int32)
+        return out
+
+    def rand_ray_color_data(self, key, batch_size: int):
+        """Uniform supervision batch (reference ``rand_ray_color_data``,
+        'by_all_pixels' mode). Host-convenience wrapper; the hot path samples
+        inside the jitted step via the same formula."""
+        import jax
+        arrs = self.device_arrays()
+        u = jax.random.uniform(key, (batch_size,))
+        idx = jnp.minimum((u * arrs["n_valid"]).astype(jnp.int32),
+                          arrs["n_valid"] - 1)
+        rays = Rays(arrs["rays_o"][idx], arrs["rays_d"][idx])
+        return (rays, arrs["colors"][idx], arrs["distances"][idx],
+                arrs["normals"][idx])
+
+    # -- geometry -----------------------------------------------------------
+
+    def gen_occ_grid(self, res: int = 256) -> jnp.ndarray:
+        """Binary occupancy from all back-projected supervision points
+        (reference ``gen_occ_grid``, ``sup_info.py:700-726``)."""
+        pts = jnp.asarray(self._cat["rays_o"]
+                          + self._cat["rays_d"] * self._cat["distances"])
+        return occ_grid_from_points(pts, res)
+
+    def geo_check(self, rays: Rays, distances) -> jnp.ndarray:
+        """Cross-pano conflict mask: 1 OK, 0 conflict.
+
+        A candidate point conflicts when EVERY registered pano sees it BEHIND
+        its own surface (reference ``geo_check``, ``sup_info.py:657-698``:
+        per-pano OK bit is ``proj < new`` i.e. candidate farther than pano
+        surface -> candidate is occluded there, clamped-min over panos, then
+        3/9 ellipse open)."""
+        distances = jnp.asarray(distances).reshape(rays.o.shape[:-1])[..., None]
+        pts = rays.o + rays.d * distances
+        h, w = pts.shape[:2]
+        mask = jnp.ones((h, w, 1))
+        for info in self.sup_infos:
+            sup_dmap = jnp.asarray(info.distance_map * info.mask)
+            rel = pts - jnp.asarray(info.pose[:3, 3])
+            local = apply_rot(rel, jnp.asarray(info.pose[:3, :3].T))
+            new_d = jnp.linalg.norm(local, axis=-1, keepdims=True)
+            coords = direction_to_img_coord(local / new_d)
+            proj_d = bilinear_sample(sup_dmap, coords, padding="border")
+            ok = (proj_d < new_d).astype(jnp.float32)
+            mask = jnp.minimum(mask, ok)
+        opened = binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
+                                   small=3, large=9)
+        return opened
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Full, restorable state (fixes the reference's lossy version)."""
+        out = {"n_sup_infos": len(self.sup_infos)}
+        for i, info in enumerate(self.sup_infos):
+            out[f"sup_info_{i}"] = {
+                "pose": info.pose, "color_map": info.color_map,
+                "distance_map": info.distance_map,
+                "normal_map": info.normal_map,
+                "mask_input": info.mask_raw.astype(np.float32),
+                "has_normal": np.any(info.normal_map != 0),
+            }
+        return out
+
+    def load_state_dict(self, state: dict):
+        assert not self.sup_infos, "load into a fresh pool"
+        for i in range(int(state["n_sup_infos"])):
+            s = state[f"sup_info_{i}"]
+            normal = s["normal_map"] if bool(s["has_normal"]) else None
+            self.register_sup_info(
+                pose=s["pose"], mask=s["mask_input"], rgb=s["color_map"],
+                distance=s["distance_map"], normal=normal)
