@@ -1,0 +1,140 @@
+"""Benchmark: train rays/sec + render frames/sec on the reference workload.
+
+Workload parity (BASELINE.md): 2048x1024 pano supervision, 8192-ray train
+batches, march step 5e-4 over [0, 1.5] against a 256^3 occupancy grid,
+render at 1024x512 in 32768-ray chunks. Scene content is the synthetic cube
+room (the reference's example panos are stripped blobs in this snapshot).
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s/chip",
+   "vs_baseline": N, ...extras}
+
+vs_baseline divides by the assumed A100 reference training throughput of
+1.0e6 rays/s (torch+tcnn+nerfacc; the reference repo publishes no numbers —
+see BASELINE.md for the assumption and protocol).
+"""
+
+import argparse
+import json
+import time
+
+A100_TRAIN_RAYS_PER_SEC = 1.0e6   # documented assumption, BASELINE.md
+A100_RENDER_FPS = 2.0             # documented assumption, BASELINE.md
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-sized smoke configuration")
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--max-samples", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from perf_tpu.core import gen_pano_rays
+    from perf_tpu.fields import NGPFieldConfig, init_ngp_params
+    from perf_tpu.kernels import HashGridConfig
+    from perf_tpu.render import RenderConfig, render_image
+    from perf_tpu.train import SupInfoPool, NeRFScene, TrainConfig
+    from perf_tpu.utils import render_cube_room_pano
+
+    if args.tiny:
+        h, w = 128, 256
+        field_cfg = NGPFieldConfig(grid=HashGridConfig(
+            n_levels=8, n_features=2, log2_table_size=14, base_res=4,
+            per_level_scale=1.9))
+        render_cfg = RenderConfig(step=4e-3, max_samples=128, occ_res=64)
+        batch, render_hw = 1024, (64, 128)
+    else:
+        h, w = 1024, 2048
+        field_cfg = NGPFieldConfig()
+        render_cfg = RenderConfig(
+            max_samples=args.max_samples or 1024)
+        batch, render_hw = 8192, (512, 1024)
+    if args.max_samples:
+        import dataclasses
+        render_cfg = dataclasses.replace(render_cfg,
+                                         max_samples=args.max_samples)
+
+    t0 = time.perf_counter()
+    pano = render_cube_room_pano(jnp.eye(4), h, w)
+    pool = SupInfoPool()
+    pool.register_sup_info(np.eye(4, dtype=np.float32), np.ones((h, w)),
+                           pano["rgb"], pano["distance"], pano["normal"])
+    train_cfg = TrainConfig(pixel_loss_batch_size=batch, scan_chunk=50)
+    scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
+    scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
+    arrs = pool.device_arrays()
+    capacity = int(arrs["rays_o"].shape[0])
+    setup_s = time.perf_counter() - t0
+
+    def time_phase(phase, n_steps):
+        run_chunk = scene._get_phase_fn(phase, capacity)
+        if phase == "geo":
+            tp, fz = scene.params["geo"], scene.params["app"]
+        else:
+            tp, fz = scene.params["app"], scene.params["geo"]
+        import optax
+        opt_state = optax.scale_by_adam(eps=1e-8).init(tp)
+        key = jax.random.PRNGKey(1)
+        # warmup (compile) — one chunk
+        tp, opt_state, key, _ = run_chunk(tp, fz, opt_state, scene.occ_grid,
+                                          arrs, key, jnp.asarray(0.0))
+        jax.block_until_ready(tp)
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_steps:
+            tp, opt_state, key, losses = run_chunk(
+                tp, fz, opt_state, scene.occ_grid, arrs, key,
+                jnp.asarray(float(done), jnp.float32))
+            done += train_cfg.scan_chunk
+        jax.block_until_ready(tp)
+        dt = time.perf_counter() - t0
+        return done / dt, float(np.asarray(losses)[-1, 1])
+
+    geo_sps, geo_loss = time_phase("geo", args.steps)
+    app_sps, app_loss = time_phase("app", args.steps)
+    # reference episode mix: 3000 geo + 1500 app steps
+    episode_time = 3000.0 / geo_sps + 1500.0 / app_sps
+    train_rays_per_sec = 4500.0 * batch / episode_time
+
+    # render throughput
+    rays = gen_pano_rays(jnp.eye(4), *render_hw)
+    key = jax.random.PRNGKey(2)
+    out = scene.render(rays, ("rgb", "distance"), key=key)  # warmup/compile
+    jax.block_until_ready(out["rgb"])
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        out = scene.render(rays, ("rgb", "distance"),
+                           key=jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(out["rgb"])
+    fps = args.frames / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(train_rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(train_rays_per_sec / A100_TRAIN_RAYS_PER_SEC, 3),
+        "extras": {
+            "geo_steps_per_sec": round(geo_sps, 2),
+            "app_steps_per_sec": round(app_sps, 2),
+            "render_fps_1024x512": round(fps, 3),
+            "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
+            "batch": batch, "max_samples": render_cfg.max_samples,
+            "geo_loss": geo_loss, "app_loss": app_loss,
+            "setup_sec": round(setup_s, 1),
+            "platform": jax.devices()[0].platform,
+            "tiny": args.tiny,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

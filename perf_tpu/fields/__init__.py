@@ -5,6 +5,7 @@ from .ngp import (
     trunc_exp, NGPFieldConfig, NGPDensityFieldConfig,
     init_ngp_params, init_geo_params, init_app_params, reset_geo,
     query_density, query_rgb, query_rgb_density,
+    query_density_coords, query_rgb_coords, query_density_ray, query_rgb_ray,
     init_density_field, query_density_field,
 )
 from .sphere_field import (

@@ -54,6 +54,29 @@ def ngp_mlp_apply(params: dict, x: jnp.ndarray,
     return h
 
 
+def ngp_mlp_apply_channels(params: dict, x: jnp.ndarray,
+                           out_activation=None) -> tuple:
+    """Like ``ngp_mlp_apply`` but returns per-output-channel [...] arrays.
+
+    The final narrow matmul (64 -> 1 or 3) is expressed as per-channel
+    reductions so no [..., 1] / [..., 3] tensor is ever materialized — on TPU
+    those pad to 128 lanes (up to 128x memory blow-up at volume-sample
+    counts).
+    """
+    ws = params["w"]
+    h = x
+    for w in ws[:-1]:
+        h = jax.nn.relu(h @ w)
+    w_last = ws[-1]
+    outs = []
+    for c in range(w_last.shape[1]):
+        o = jnp.sum(h * w_last[:, c], axis=-1)
+        if out_activation is not None:
+            o = out_activation(o)
+        outs.append(o)
+    return tuple(outs)
+
+
 # ---------------------------------------------------------------------------
 # VanillaMLP (sphere init / weight norm / Softplus(100); output negated)
 # ---------------------------------------------------------------------------

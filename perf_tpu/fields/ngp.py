@@ -26,8 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.hashgrid import HashGridConfig, hash_encode, init_hash_table
-from .mlp import ngp_mlp_init, ngp_mlp_apply
+from ..kernels.hashgrid import (
+    HashGridConfig, hash_encode, hash_encode_coords, hash_encode_ray,
+    init_hash_table, level_strides,
+)
+from .mlp import ngp_mlp_init, ngp_mlp_apply, ngp_mlp_apply_channels
 
 
 @jax.custom_vjp
@@ -91,28 +94,69 @@ def reset_geo(params: dict, key: jax.Array, cfg: NGPFieldConfig) -> dict:
     return {**params, "geo": init_geo_params(key, cfg)}
 
 
+def _normalize_coords(cfg: NGPFieldConfig, x, y, z):
+    span = cfg.aabb_max - cfg.aabb_min
+    nx = (x - cfg.aabb_min) / span
+    ny = (y - cfg.aabb_min) / span
+    nz = (z - cfg.aabb_min) / span
+    sel = ((nx > 0.0) & (nx < 1.0) & (ny > 0.0) & (ny < 1.0)
+           & (nz > 0.0) & (nz < 1.0))
+    return nx, ny, nz, sel
+
+
+def query_density_coords(geo_params: dict, x, y, z,
+                         cfg: NGPFieldConfig) -> jnp.ndarray:
+    """Density at world coords given as three same-shape arrays -> [...].
+
+    The coords-based API is the hot path: no [..., 3] tensors, which the TPU
+    (8, 128) tiling would pad 42x (see kernels/hashgrid.py).
+    """
+    nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
+    feats = hash_encode_coords(geo_params["table"], nx, ny, nz, cfg.grid)
+    (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
+    return trunc_exp(raw) * sel
+
+
+def query_rgb_coords(app_params: dict, x, y, z, cfg: NGPFieldConfig):
+    """RGB at world coords -> tuple (r, g, b) of [...] arrays."""
+    nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
+    feats = hash_encode_coords(app_params["table"], nx, ny, nz, cfg.grid)
+    r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
+                                     out_activation=jax.nn.sigmoid)
+    return (r * sel, g * sel, b * sel)
+
+
+def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
+                      strides: tuple) -> jnp.ndarray:
+    """Density at ray-structured coords [N, S] with per-level subsampling."""
+    nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
+    feats = hash_encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides)
+    (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
+    return trunc_exp(raw) * sel
+
+
+def query_rgb_ray(app_params: dict, x, y, z, cfg: NGPFieldConfig,
+                  strides: tuple):
+    """RGB at ray-structured coords [N, S] -> (r, g, b) arrays."""
+    nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
+    feats = hash_encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides)
+    r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
+                                     out_activation=jax.nn.sigmoid)
+    return (r * sel, g * sel, b * sel)
+
+
 def query_density(geo_params: dict, x: jnp.ndarray,
                   cfg: NGPFieldConfig) -> jnp.ndarray:
-    """Density at world positions x [..., 3] -> [..., 1]."""
-    shape = x.shape[:-1]
-    x01 = cfg.normalize(x.reshape(-1, 3))
-    sel = cfg.selector(x01)
-    feats = hash_encode(geo_params["table"], x01, cfg.grid)
-    raw = ngp_mlp_apply(geo_params["mlp"], feats)
-    density = trunc_exp(raw) * sel[..., None]
-    return density.reshape(*shape, 1)
+    """Density at world positions x [..., 3] -> [..., 1] (convenience API)."""
+    d = query_density_coords(geo_params, x[..., 0], x[..., 1], x[..., 2], cfg)
+    return d[..., None]
 
 
 def query_rgb(app_params: dict, x: jnp.ndarray,
               cfg: NGPFieldConfig) -> jnp.ndarray:
     """RGB at world positions x [..., 3] -> [..., 3] (position-only)."""
-    shape = x.shape[:-1]
-    x01 = cfg.normalize(x.reshape(-1, 3))
-    sel = cfg.selector(x01)
-    feats = hash_encode(app_params["table"], x01, cfg.grid)
-    rgb = ngp_mlp_apply(app_params["mlp"], feats, out_activation=jax.nn.sigmoid)
-    rgb = rgb * sel[..., None]
-    return rgb.reshape(*shape, 3)
+    r, g, b = query_rgb_coords(app_params, x[..., 0], x[..., 1], x[..., 2], cfg)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def query_rgb_density(params: dict, x: jnp.ndarray, cfg: NGPFieldConfig):

@@ -2,26 +2,26 @@
 
 The reference's core compute primitive is tcnn's CUDA ``HashGrid`` encoding
 (``ngp_nerf.py:96-134``, ``pano_joint_predictor.py:30-41``). This module
-provides the TPU-native equivalent (Instant-NGP, arXiv 2201.05989):
+provides the TPU-native equivalent (Instant-NGP, arXiv 2201.05989) as pure
+XLA; a Pallas kernel is the planned upgrade for the same API.
 
-- ``init_hash_table`` / ``hash_encode``: pure-XLA gather + d-linear interp.
-  Gradients (both w.r.t. the table — scatter-add — and w.r.t. the input
-  position, needed by the sphere distance field's analytic normals) come from
-  autodiff.
-- A Pallas kernel variant lives in ``hashgrid_pallas.py``; the public entry
-  ``hash_encode`` dispatches to whichever implementation is enabled.
+TPU layout rules drive the design (learned the hard way — a naive port OOMs
+the compiler):
 
-Layout notes (TPU-first): levels are unrolled statically so XLA sees 16
-independent gathers it can schedule together; per-level features stay in a
-single ``[L, T, F]`` table so the whole encoder is ONE parameter leaf (reset /
-optimizer handling is trivial), and lookups use power-of-two masking instead
-of modulo.
+- tables are stored ``[L, F, T]`` (feature-major) so every gather produces a
+  tensor shaped like its INDEX array — no trailing length-2 dim that the
+  (8, 128) tile would pad 64x;
+- coordinates flow as three separate same-shaped arrays (``hash_encode_coords``)
+  instead of an ``[..., 3]`` tensor (42x lane padding);
+- corners accumulate through a dependency chain so peak live buffers stay at
+  one gather's size;
+- gradients (table scatter-add + input-position, the latter needed by the
+  sphere field's analytic normals) come from autodiff.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,9 @@ import numpy as np
 
 # Spatial hash primes (Instant-NGP convention).
 _PRIMES = (1, 2654435761, 805459861)
+
+# The 8 cube-corner offsets, static.
+_OFFSETS = [(i >> 2 & 1, i >> 1 & 1, i & 1) for i in range(8)]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,82 +68,143 @@ class HashGridConfig:
 
 def init_hash_table(key: jax.Array, cfg: HashGridConfig,
                     dtype=jnp.float32) -> jnp.ndarray:
-    """Uniform(-1e-4, 1e-4) init (Instant-NGP / tcnn convention)."""
+    """[L, F, T] (feature-major), uniform(-1e-4, 1e-4) init (tcnn convention)."""
     return jax.random.uniform(
-        key, (cfg.n_levels, cfg.table_size, cfg.n_features),
+        key, (cfg.n_levels, cfg.n_features, cfg.table_size),
         minval=-1e-4, maxval=1e-4, dtype=dtype)
 
 
-def _corner_indices(corners: jnp.ndarray, res: int, table_size: int) -> jnp.ndarray:
-    """Map integer corner coords [..., 3] to table rows.
+def _corner_flat_index(cx, cy, cz, res: int, table_size: int):
+    """Integer corner coords (same-shape arrays) -> table row index.
 
     Dense (collision-free) indexing when the level's grid fits in the table,
-    spatial hashing otherwise — matching Instant-NGP semantics.
+    spatial hashing otherwise — Instant-NGP semantics.
     """
     if (res + 1) ** 3 <= table_size:
         r1 = res + 1
-        return (corners[..., 0] * (r1 * r1) + corners[..., 1] * r1
-                + corners[..., 2])
-    c = corners.astype(jnp.uint32)
-    h = (c[..., 0] * jnp.uint32(_PRIMES[0])
-         ^ c[..., 1] * jnp.uint32(_PRIMES[1])
-         ^ c[..., 2] * jnp.uint32(_PRIMES[2]))
+        return cx * (r1 * r1) + cy * r1 + cz
+    h = (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+         ^ cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+         ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
-# The 8 cube-corner offsets, static.
-_OFFSETS = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)],
-                    dtype=np.int32)
-
-
-def _encode_level(table_l: jnp.ndarray, x: jnp.ndarray, res: int,
-                  cfg: HashGridConfig) -> jnp.ndarray:
-    """Encode positions x [N, 3] in [0, 1] at one level. Returns [N, F]."""
-    pos = x * res
+def _axis_terms(x, res: int, smoothstep: bool):
+    """Per-axis corner index + interpolation weight pair."""
+    pos = jnp.clip(x, 0.0, 1.0) * res
     c0f = jnp.clip(jnp.floor(pos), 0, res - 1)  # corner+1 stays <= res
     frac = pos - c0f
-    c0 = c0f.astype(jnp.int32)
-
-    if cfg.interpolation == "smoothstep":
+    if smoothstep:
         w = frac * frac * (3.0 - 2.0 * frac)
     else:
         w = frac
-
-    offsets = jnp.asarray(_OFFSETS)                       # [8, 3]
-    corners = c0[:, None, :] + offsets[None, :, :]        # [N, 8, 3]
-    idx = _corner_indices(corners, res, cfg.table_size)   # [N, 8]
-    feats = table_l[idx]                                  # [N, 8, F]
-
-    # trilinear weights: prod over dims of (w or 1-w) per corner bit
-    off_f = offsets.astype(x.dtype)                       # [8, 3]
-    wc = off_f[None] * w[:, None, :] + (1.0 - off_f[None]) * (1.0 - w[:, None, :])
-    weights = wc[..., 0] * wc[..., 1] * wc[..., 2]        # [N, 8]
-    return jnp.sum(feats * weights[..., None], axis=1)
+    return c0f.astype(jnp.int32), w
 
 
-def hash_encode_xla(table: jnp.ndarray, x: jnp.ndarray,
-                    cfg: HashGridConfig) -> jnp.ndarray:
-    """Encode positions x [N, 3] in [0, 1]^3 -> features [N, L*F].
+def encode_level_coords(table_lvl: jnp.ndarray, level_res: int, x, y, z,
+                        cfg: HashGridConfig) -> list:
+    """Encode ONE level at coords in [0,1] (three same-shape arrays).
 
-    Pure-XLA path: 16 static-unrolled gathers. Out-of-range inputs are
-    clamped (callers gate with an AABB selector the way the reference does).
+    table_lvl: [F, T]. Returns a list of F arrays shaped like x.
     """
-    x = jnp.clip(x, 0.0, 1.0)
-    outs = [
-        _encode_level(table[lvl], x, cfg.level_res(lvl), cfg)
-        for lvl in range(cfg.n_levels)
-    ]
-    return jnp.concatenate(outs, axis=-1)
+    smooth = cfg.interpolation == "smoothstep"
+    res = level_res
+    cx, wx = _axis_terms(x, res, smooth)
+    cy, wy = _axis_terms(y, res, smooth)
+    cz, wz = _axis_terms(z, res, smooth)
+    accs = [None] * cfg.n_features
+    for ox, oy, oz in _OFFSETS:
+        idx = _corner_flat_index(cx + ox, cy + oy, cz + oz, res,
+                                 cfg.table_size)
+        weight = ((wx if ox else 1.0 - wx)
+                  * (wy if oy else 1.0 - wy)
+                  * (wz if oz else 1.0 - wz))
+        for f in range(cfg.n_features):
+            term = table_lvl[f][idx] * weight
+            accs[f] = term if accs[f] is None else accs[f] + term
+    return accs
+
+
+def hash_encode_coords(table: jnp.ndarray, x, y, z,
+                       cfg: HashGridConfig) -> jnp.ndarray:
+    """Encode coordinates in [0, 1] given as three same-shape arrays.
+
+    Returns features stacked on a NEW trailing axis: [..., L*F], ordered
+    level-major then feature (level0 f0, level0 f1, level1 f0, ...).
+    """
+    outs = []
+    for lvl in range(cfg.n_levels):
+        outs.extend(encode_level_coords(table[lvl], cfg.level_res(lvl),
+                                        x, y, z, cfg))
+    return jnp.stack(outs, axis=-1)
+
+
+def level_strides(cfg: HashGridConfig, step: float, n_samples: int) -> tuple:
+    """Per-level ray-subsampling strides (power of two).
+
+    Level l's features vary on the scale of its voxel (2/res_l in the
+    [-1,1]^3 world); sampling them along the ray every ~half voxel and
+    lerping to the fine ladder is at-Nyquist for that level. Coarse levels
+    get large strides (huge gather savings), the finest levels stride 1.
+    """
+    strides = []
+    for lvl in range(cfg.n_levels):
+        voxel = 2.0 / cfg.level_res(lvl)
+        k = max(1, int(voxel / (2.0 * step)))
+        k = 1 << (k.bit_length() - 1)         # floor to power of two
+        k = min(k, max(1, n_samples // 2))
+        strides.append(k)
+    return tuple(strides)
+
+
+def _lerp_upsample(coarse: jnp.ndarray, stride: int, n: int) -> jnp.ndarray:
+    """[N, P+1] coarse values -> [N, n] linear interpolation at stride K."""
+    if stride == 1:
+        return coarse[:, :n]
+    p = n // stride
+    left = coarse[:, :p]                       # [N, P]
+    right = coarse[:, 1:p + 1]
+    w = (jnp.arange(stride, dtype=coarse.dtype) / stride)[None, None, :]
+    full = left[:, :, None] * (1.0 - w) + right[:, :, None] * w
+    return full.reshape(coarse.shape[0], p * stride)
+
+
+def hash_encode_ray(table: jnp.ndarray, x, y, z, cfg: HashGridConfig,
+                    strides: tuple) -> jnp.ndarray:
+    """Ray-structured encode with per-level subsampling.
+
+    x/y/z: [N, S] sample coords along rays (S samples, roughly uniform in t).
+    For each level, the field is evaluated every ``strides[l]`` samples (plus
+    the last sample) and linearly interpolated back to all S — cutting
+    gather rows by ~sum(1/K_l)/L while staying at each level's Nyquist rate.
+    Returns [N, S, L*F].
+    """
+    n, s = x.shape
+    outs = []
+    for lvl in range(cfg.n_levels):
+        k = strides[lvl]
+        if k == 1:
+            outs.extend(encode_level_coords(table[lvl], cfg.level_res(lvl),
+                                            x, y, z, cfg))
+            continue
+        assert s % k == 0, f"samples {s} not divisible by stride {k}"
+        xs = jnp.concatenate([x[:, ::k], x[:, -1:]], axis=1)  # [N, P+1]
+        ys = jnp.concatenate([y[:, ::k], y[:, -1:]], axis=1)
+        zs = jnp.concatenate([z[:, ::k], z[:, -1:]], axis=1)
+        feats = encode_level_coords(table[lvl], cfg.level_res(lvl),
+                                    xs, ys, zs, cfg)
+        outs.extend(_lerp_upsample(f, k, s) for f in feats)
+    return jnp.stack(outs, axis=-1)
 
 
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
                 cfg: HashGridConfig) -> jnp.ndarray:
-    """Public entry: dispatches to the best implementation for the platform.
+    """Encode positions x [..., 3] in [0, 1]^3 -> features [..., L*F]."""
+    return hash_encode_coords(table, x[..., 0], x[..., 1], x[..., 2], cfg)
 
-    Currently the XLA path; the Pallas kernel is opt-in via
-    ``perf_tpu.kernels.hashgrid_pallas`` once it wins benchmarks.
-    """
-    return hash_encode_xla(table, x, cfg)
+
+# Back-compat alias (public API name predating the layout work).
+hash_encode_xla = hash_encode
 
 
 def hash_encode_numpy(table: np.ndarray, x: np.ndarray,
@@ -169,6 +233,6 @@ def hash_encode_numpy(table: np.ndarray, x: np.ndarray,
                      ^ cu[:, 2] * np.uint32(_PRIMES[2]))
                 idx = (h & np.uint32(cfg.table_size - 1)).astype(np.int64)
             wt = np.prod(np.where(off > 0, w, 1 - w), axis=-1)
-            acc += np.asarray(table[lvl], np.float64)[idx] * wt[:, None]
+            acc += np.asarray(table[lvl], np.float64).T[idx] * wt[:, None]
         out[:, lvl * cfg.n_features:(lvl + 1) * cfg.n_features] = acc
     return out

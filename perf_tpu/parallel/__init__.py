@@ -1,0 +1,5 @@
+from .mesh import (
+    make_mesh, replicated, ray_sharding, table_sharding, shard_params,
+    shard_rays,
+)
+from .dp import build_dp_train_step

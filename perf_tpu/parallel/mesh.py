@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY §2.4: no torch.distributed in
+the executed path); distribution here is designed TPU-first instead of
+ported:
+
+- axis ``'data'``: shards the ray axis of train batches and render tiles —
+  the primary (and, at reference model scale, sufficient) parallelism. Params
+  replicated; XLA inserts the gradient psum over ICI.
+- axis ``'model'``: optionally shards hash-table rows (the only >10 MB
+  params) for table sizes beyond single-chip HBM — tensor parallelism for
+  this architecture.
+
+Everything is expressed as shardings + constraints inside one jitted step;
+there is no explicit send/recv layer (XLA emits the collectives).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), \
+        f"need {n_data}x{n_model} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard hash-table rows [L, F, T] over 'model' (row axis is last)."""
+    return NamedSharding(mesh, P(None, None, "model"))
+
+
+def shard_params(params: dict, mesh: Mesh, shard_tables: bool = False):
+    """Place field params: replicated, or tables row-sharded over 'model'."""
+    def place(path, x):
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if shard_tables and "table" in names:
+            return jax.device_put(x, table_sharding(mesh))
+        return jax.device_put(x, replicated(mesh))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_rays(tree, mesh: Mesh):
+    """Constraint: leading axis sharded over 'data' (inside jit)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, ray_sharding(mesh)), tree)

@@ -1,0 +1,119 @@
+"""PanoGeoRefiner: distill an existing distance+normal map into a smooth
+sphere distance field and re-extract the maps.
+
+Counterpart of the reference's ``pano_geo_refiner.py:60-153`` (5000 iters of
+32768 random directions, smooth-L1 distance beta 1e-2 + tangent-projection
+normal loss beta 0.5 x 5e-2, Adam 1e-2 with half-cosine decay; field variant:
+fine_res 4096, weight-normed MLP, raw output).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import (
+    direction_to_img_coord, bilinear_sample, img_coord_from_hw,
+    img_coord_to_pano_direction,
+)
+from ..fields.sphere_field import (
+    SphereFieldConfig, init_sphere_field, sphere_field_distance_and_grad,
+    grads_to_normal,
+)
+from ..train.schedule import smooth_l1
+from .pano_joint import normal_projection_errors
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinerConfig:
+    n_iters: int = 5000
+    batch_size: int = 32768
+    init_lr: float = 1e-2
+    lr_alpha: float = 1e-2
+    normal_loss_weight: float = 5e-2
+    scan_chunk: int = 100
+    field: SphereFieldConfig = SphereFieldConfig(
+        fine_res=4096, weight_norm=True, output="raw")
+
+
+class PanoGeoRefiner:
+    def __init__(self, cfg: RefinerConfig = RefinerConfig(), seed: int = 0):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def refine(self, distances, normals):
+        """distances [H, W(, 1)], normals [H, W, 3] ->
+        (distance [H, W, 1], normal [H, W, 3])."""
+        cfg = self.cfg
+        distances = jnp.asarray(distances)
+        h, w = distances.shape[0], distances.shape[1]
+        distances = distances.reshape(h, w, -1)[..., :1]
+        normals = jnp.asarray(normals).reshape(h, w, 3)
+
+        params = init_sphere_field(self._next_key(), cfg.field)
+        adam = optax.scale_by_adam(eps=1e-8)
+        opt_state = adam.init(params)
+
+        def step(carry, i):
+            params, opt_state, key = carry
+            key, k_dir, k_ortho = jax.random.split(key, 3)
+            dirs = jax.random.normal(k_dir, (cfg.batch_size, 3))
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            coords = direction_to_img_coord(dirs)
+            ref_d = bilinear_sample(distances, coords)[..., 0]
+            ref_n = bilinear_sample(normals, coords)
+
+            def loss_fn(p):
+                pd, pg = sphere_field_distance_and_grad(p, dirs, cfg.field)
+                d_loss = smooth_l1(ref_d, pd, beta=1e-2)
+                errors = normal_projection_errors(dirs, pg, ref_n, k_ortho)
+                n_loss = smooth_l1(errors, jnp.zeros_like(errors), beta=0.5)
+                return d_loss + n_loss * cfg.normal_loss_weight
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = adam.update(grads, opt_state)
+            progress = i / cfg.n_iters
+            lr = cfg.init_lr * ((jnp.cos(progress * jnp.pi) * 0.5 + 0.5)
+                                * (1.0 - cfg.lr_alpha) + cfg.lr_alpha)
+            params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
+                                            params, updates)
+            return (params, opt_state, key), None
+
+        @jax.jit
+        def run_chunk(params, opt_state, key, i0):
+            (params, opt_state, key), _ = jax.lax.scan(
+                step, (params, opt_state, key),
+                i0 + jnp.arange(cfg.scan_chunk, dtype=jnp.float32))
+            return params, opt_state, key
+
+        key = self._next_key()
+        assert cfg.n_iters % cfg.scan_chunk == 0
+        for c in range(cfg.n_iters // cfg.scan_chunk):
+            params, opt_state, key = run_chunk(
+                params, opt_state, key,
+                jnp.asarray(c * cfg.scan_chunk, jnp.float32))
+
+        pano_dirs = img_coord_to_pano_direction(img_coord_from_hw(h, w))
+        flat = pano_dirs.reshape(-1, 3)
+        chunk = 1 << 16
+        n_pad = (-flat.shape[0]) % chunk
+        flat_p = jnp.concatenate([flat, jnp.ones((n_pad, 3)) / np.sqrt(3.0)], 0)
+        qfn = jax.jit(partial(sphere_field_distance_and_grad, cfg=cfg.field))
+        ds, gs = [], []
+        for s in range(0, flat_p.shape[0], chunk):
+            dd, gg = qfn(params, flat_p[s:s + chunk])
+            ds.append(dd)
+            gs.append(gg)
+        dist = jnp.concatenate(ds)[: h * w].reshape(h, w, 1)
+        grad = jnp.concatenate(gs)[: h * w].reshape(h, w, 3)
+        normal = grads_to_normal(pano_dirs, grad, self._next_key())
+        return dist, normal

@@ -33,8 +33,11 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..fields.ngp import NGPFieldConfig, query_density, query_rgb
-from .occgrid import occ_lookup
+from ..fields.ngp import (
+    NGPFieldConfig, query_density_coords, query_rgb_coords,
+    query_density_ray, query_rgb_ray,
+)
+from ..kernels.hashgrid import level_strides
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,15 +45,30 @@ class RenderConfig:
     near: float = 0.0
     far: float = 1.5
     step: float = 5e-4
-    max_samples: int = 1024
+    max_samples: int = 256
     occ_res: int = 256
     bg_color: str = "rand_noise"  # 'rand_noise' | 'white' | 'black'
     eval_bg_distance: float = 5.0
     remat: bool = True
+    # TPU-perf knobs (both are principled approximations, see march_rays /
+    # kernels.hashgrid.level_strides):
+    march_coarse: int = 8       # occupancy probed once per this many steps
+    level_subsampling: bool = True
 
     @property
     def n_march(self) -> int:
-        return int(math.ceil((self.far - self.near) / self.step))
+        m = int(math.ceil((self.far - self.near) / self.step))
+        c = self.march_coarse
+        return ((m + c - 1) // c) * c
+
+    @property
+    def n_windows(self) -> int:
+        return self.n_march // self.march_coarse
+
+    @property
+    def max_windows(self) -> int:
+        assert self.max_samples % self.march_coarse == 0
+        return self.max_samples // self.march_coarse
 
 
 def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -60,22 +78,43 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     Returns (t_mid [N, max_samples] ascending, valid [N, max_samples] f32).
     """
     n = rays_o.shape[0]
-    steps = jnp.arange(cfg.n_march, dtype=jnp.float32)
+    res = cfg.occ_res
+    c = cfg.march_coarse
     if stratified:
         jitter = jax.random.uniform(key, (n, 1))
     else:
         jitter = jnp.zeros((n, 1))
-    t_mid_all = cfg.near + (steps[None, :] + 0.5 + jitter) * cfg.step  # [N, M]
 
-    pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid_all[..., None]
-    occ = occ_lookup(occ_grid, pos, cfg.occ_res).astype(jnp.int32)
-    occ = occ * (t_mid_all < cfg.far)
+    # Coarse probe: occupancy once per c-step window, at the window center.
+    # The occupancy shell is >= 3 voxels thick (~45 fine steps at the
+    # reference grid), far thicker than a window, so center probing cannot
+    # skip it; windows are conservative (they admit a few extra samples at
+    # shell edges, masked only by far-plane).
+    wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
+    t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
 
-    # First `max_samples` occupied steps, in t order: monotone-decreasing keys.
-    keys = occ * (cfg.n_march - jnp.arange(cfg.n_march, dtype=jnp.int32))[None, :]
-    vals, idx = jax.lax.top_k(keys, cfg.max_samples)
-    valid = (vals > 0).astype(jnp.float32)
-    t_mid = cfg.near + (idx.astype(jnp.float32) + 0.5 + jitter) * cfg.step
+    def axis_voxel(a, t):
+        w = rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * t
+        return ((jnp.clip(w, -0.999, 0.999) * 0.5 + 0.5) * res).astype(jnp.int32)
+
+    flat = (axis_voxel(0, t_probe) * (res * res) + axis_voxel(1, t_probe) * res
+            + axis_voxel(2, t_probe))
+    occ = occ_grid[flat].astype(jnp.int32)
+    occ = occ * (t_probe < cfg.far)
+
+    # First `max_windows` occupied windows, in t order (monotone keys), each
+    # expanded to its c consecutive fine steps.
+    keys = occ * (cfg.n_windows
+                  - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
+    vals, widx = jax.lax.top_k(keys, cfg.max_windows)          # [N, W]
+    wvalid = (vals > 0).astype(jnp.float32)
+    fine = jnp.arange(c, dtype=jnp.float32)
+    t_mid = (cfg.near
+             + ((widx.astype(jnp.float32) * c)[:, :, None] + fine[None, None, :]
+                + 0.5 + jitter[:, :, None]) * cfg.step).reshape(n, -1)
+    valid = jnp.broadcast_to(wvalid[:, :, None],
+                             (n, cfg.max_windows, c)).reshape(n, -1)
+    valid = valid * (t_mid < cfg.far)
     return t_mid, valid
 
 
@@ -87,24 +126,40 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray, key: jax.Array,
                 cfg: RenderConfig, train: bool,
                 stop_geo_grad: bool = False,
-                stop_app_grad: bool = False) -> dict:
+                stop_app_grad: bool = False,
+                need_rgb: bool = True) -> dict:
     """Render a flat batch of rays [N, 3] -> dict of per-ray quantities.
 
     ``train`` is static: controls stratified sampling and background
     compositing mode (reference switches on ``nerf.training``).
+    ``need_rgb=False`` skips the appearance network entirely (the geometry
+    phase's loss never reads color — the reference still pays for the
+    no-grad rgb pass on every packed sample, we don't).
     """
     key_march, key_bg_c, key_bg_d = jax.random.split(key, 3)
     t_mid, valid = march_rays(occ_grid, rays_o, rays_d, key_march, cfg,
                               stratified=train)
-    pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+    # sample world coords as three [N, S] arrays (no trailing-3 tensors)
+    px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_mid
+    py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_mid
+    pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_mid
 
-    dens_fn = lambda p: query_density(params["geo"], p, field_cfg)[..., 0]
-    rgb_fn = lambda p: query_rgb(params["app"], p, field_cfg)
+    if cfg.level_subsampling:
+        strides = level_strides(field_cfg.grid, cfg.step, cfg.max_samples)
+        dens_fn = lambda x, y, z: query_density_ray(params["geo"], x, y, z,
+                                                    field_cfg, strides)
+        rgb_fn = lambda x, y, z: query_rgb_ray(params["app"], x, y, z,
+                                               field_cfg, strides)
+    else:
+        dens_fn = lambda x, y, z: query_density_coords(params["geo"], x, y, z,
+                                                       field_cfg)
+        rgb_fn = lambda x, y, z: query_rgb_coords(params["app"], x, y, z,
+                                                  field_cfg)
     if cfg.remat:
         dens_fn = jax.checkpoint(dens_fn)
         rgb_fn = jax.checkpoint(rgb_fn)
 
-    sigma = dens_fn(pos)
+    sigma = dens_fn(px, py, pz)
     if stop_geo_grad:
         sigma = jax.lax.stop_gradient(sigma)
     sigma = sigma * valid
@@ -117,12 +172,17 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
     opacity = jnp.sum(weights, axis=-1, keepdims=True)          # [N, 1]
     distance = jnp.sum(weights * t_mid, axis=-1, keepdims=True)
 
-    rgbs = rgb_fn(pos)                                          # [N, S, 3]
-    if stop_app_grad:
-        rgbs = jax.lax.stop_gradient(rgbs)
-    colors = jnp.sum(jax.lax.stop_gradient(weights)[..., None] * rgbs, axis=1)
-
     n = rays_o.shape[0]
+    if need_rgb:
+        r, g, b = rgb_fn(px, py, pz)                            # each [N, S]
+        if stop_app_grad:
+            r, g, b = map(jax.lax.stop_gradient, (r, g, b))
+        w_detached = jax.lax.stop_gradient(weights)
+        colors = jnp.stack([jnp.sum(w_detached * r, axis=-1),
+                            jnp.sum(w_detached * g, axis=-1),
+                            jnp.sum(w_detached * b, axis=-1)], axis=-1)
+    else:
+        colors = jnp.zeros((n, 3))
     if cfg.bg_color == "rand_noise":
         bg = jax.random.uniform(key_bg_c, (n, 3))
     elif cfg.bg_color == "white":

@@ -125,7 +125,7 @@ class NeRFScene:
             def loss_fn(geo_p):
                 out = render_rays({"geo": geo_p, "app": app_params}, fc, occ,
                                   o, d, k_render, rc, train=True,
-                                  stop_app_grad=True)
+                                  stop_app_grad=True, need_rgb=False)
                 depth_l = smooth_l1(out["distance"], gt_dist, beta=1e-2)
                 dist_l = distortion_loss(out["weights"], out["t_mid"],
                                          rc.step, out["valid"])

@@ -1,0 +1,101 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perf_tpu.fields import NGPFieldConfig, init_ngp_params
+from perf_tpu.kernels import HashGridConfig
+from perf_tpu.render import RenderConfig, occ_grid_from_points
+from perf_tpu.parallel import (
+    make_mesh, build_dp_train_step, shard_params, ray_sharding,
+)
+
+
+def _setup():
+    field_cfg = NGPFieldConfig(grid=HashGridConfig(
+        n_levels=4, n_features=2, log2_table_size=10, base_res=4,
+        per_level_scale=2.0))
+    render_cfg = RenderConfig(step=1e-2, max_samples=32, occ_res=32)
+    params = init_ngp_params(jax.random.PRNGKey(0), field_cfg)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = jnp.asarray(dirs * 0.5)
+    grid = occ_grid_from_points(pts, res=render_cfg.occ_res)
+    batch = {
+        "rays_o": jnp.zeros((64, 3)),
+        "rays_d": jnp.asarray(dirs[:64]),
+        "colors": jnp.full((64, 3), 0.7),
+        "distances": jnp.full((64, 1), 0.5),
+    }
+    return field_cfg, render_cfg, params, grid, batch
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_dp_step_runs_and_improves():
+    field_cfg, render_cfg, params, grid, batch = _setup()
+    mesh = make_mesh()
+    init_opt, step = build_dp_train_step(field_cfg, render_cfg, mesh)
+    params = shard_params(params, mesh)
+    batch = jax.device_put(batch, ray_sharding(mesh))
+    opt_state = init_opt(params)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        key, k = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, grid, batch, k,
+                                    jnp.asarray(i / 30.0))
+        if first is None:
+            first = float(m["depth_loss"])
+    assert float(m["depth_loss"]) < first
+
+
+def test_shard_invariance_1_vs_8_devices():
+    """The same step on a 1-device and an 8-device mesh must agree."""
+    field_cfg, render_cfg, params, grid, batch = _setup()
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+        init_opt, step = build_dp_train_step(field_cfg, render_cfg, mesh)
+        p = shard_params(params, mesh)
+        b = jax.device_put(batch, ray_sharding(mesh))
+        opt_state = init_opt(p)
+        p2, _, m = step(p, opt_state, grid, b, jax.random.PRNGKey(7),
+                        jnp.asarray(0.5))
+        results[n] = (jax.tree_util.tree_map(np.asarray, p2),
+                      {k: float(v) for k, v in m.items()})
+    for k in results[1][1]:
+        np.testing.assert_allclose(results[1][1][k], results[8][1][k],
+                                   rtol=1e-4, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(results[1][0]),
+                    jax.tree_util.tree_leaves(results[8][0])):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_model_axis_table_sharding():
+    """Hash tables sharded over 'model' still produce identical results."""
+    field_cfg, render_cfg, params, grid, batch = _setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    init_opt, step = build_dp_train_step(field_cfg, render_cfg, mesh)
+    p_sharded = shard_params(params, mesh, shard_tables=True)
+    b = jax.device_put(batch, ray_sharding(mesh))
+    _, _, m_sharded = step(p_sharded, init_opt(p_sharded), grid, b,
+                           jax.random.PRNGKey(7), jnp.asarray(0.5))
+
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    init_opt1, step1 = build_dp_train_step(field_cfg, render_cfg, mesh1)
+    p1 = shard_params(params, mesh1)
+    b1 = jax.device_put(batch, ray_sharding(mesh1))
+    _, _, m1 = step1(p1, init_opt1(p1), grid, b1, jax.random.PRNGKey(7),
+                     jnp.asarray(0.5))
+    for k in m1:
+        np.testing.assert_allclose(float(m_sharded[k]), float(m1[k]),
+                                   rtol=1e-4, err_msg=k)
