@@ -27,8 +27,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-sized smoke configuration")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--max-samples", type=int, default=None)
     args = ap.parse_args()
 
@@ -56,7 +56,7 @@ def main():
         h, w = 1024, 2048
         field_cfg = NGPFieldConfig()
         render_cfg = RenderConfig(
-            max_samples=args.max_samples or 1024)
+            max_samples=args.max_samples or 256)
         batch, render_hw = 8192, (512, 1024)
     if args.max_samples:
         import dataclasses
@@ -68,7 +68,10 @@ def main():
     pool = SupInfoPool()
     pool.register_sup_info(np.eye(4, dtype=np.float32), np.ones((h, w)),
                            pano["rgb"], pano["distance"], pano["normal"])
-    train_cfg = TrainConfig(pixel_loss_batch_size=batch, scan_chunk=50)
+    # small scan chunks: the remote-TPU tunnel kills single dispatches
+    # that run for minutes, and per-chunk dispatch overhead (~25 ms) is
+    # negligible against step time.
+    train_cfg = TrainConfig(pixel_loss_batch_size=batch, scan_chunk=5)
     scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
     scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
     arrs = pool.device_arrays()
