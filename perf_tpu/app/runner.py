@@ -1,0 +1,338 @@
+"""CoreRunner: end-to-end orchestration (train / render_dense).
+
+Counterpart of the reference's ``core_exp_runner.py:36-256``, preserving the
+CLI-observable behavior: build dataset -> scene -> pose sampler -> sup pool
+-> predictors -> inpainter; run the progressive train loop (raw fit, then per
+anchor: visibility mask -> render -> inpaint -> geometry -> geo-check ->
+register -> re-fit) with phase-level checkpoint/resume; render the dense
+traverse video.
+
+Deviations (all improvements, documented):
+- checkpoints restore the FULL state including the sup pool (the reference
+  drops it on resume — ``core_exp_runner.py:217-221``);
+- prior/inpainter backends are pluggable ('fake' backends keep the pipeline
+  runnable without multi-GB checkpoints);
+- source-code backup into the exp dir is opt-in (off by default).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core import gen_pano_rays, gen_pers_rays, Rays
+from ..data import WildDataset
+from ..fields import NGPFieldConfig
+from ..render import RenderConfig
+from ..train import (
+    SupInfoPool, NeRFScene, TrainConfig, OptimConfig,
+    save_checkpoint, load_checkpoint,
+)
+from ..pose import CirclePoseSampler, DenseTravelPoseSampler
+from ..inpaint import FakeInpainter, PanoPersFusionInpainter
+from ..priors import (
+    PanoJointPredictor, JointPredictorConfig,
+    FakeCubeRoomDepthPredictor, FakeCubeRoomNormalPredictor,
+)
+from ..utils.io import write_image, write_video, colorize_single_channel_image
+from ..utils.metrics import MetricsWriter
+
+
+def build_prior_backends(conf: Config):
+    """Depth/normal prior backends by config ('fake' | 'dpt')."""
+    backend = conf.get_path("priors.backend", "fake")
+    if backend == "dpt":
+        from ..priors.dpt import DPTDepthBackend, DPTNormalBackend
+        ckpt_dir = conf.get_path("priors.checkpoint_dir", "./pre_checkpoints")
+        return (DPTDepthBackend(ckpt_dir), DPTNormalBackend(ckpt_dir))
+    room = conf.get_path("priors.fake_room", 0.8)
+    return (FakeCubeRoomDepthPredictor(room=room),
+            FakeCubeRoomNormalPredictor(room=room))
+
+
+def build_inpainter(conf: Config):
+    kind = conf.get_path("pers_inpainter_type", "stable_diffusion")
+    gen_res = conf.get_path("inpaint.gen_res", 512)
+    if kind == "fake":
+        return PanoPersFusionInpainter(FakeInpainter(), gen_res=gen_res)
+    if kind == "stable_diffusion":
+        try:
+            from ..inpaint.lama import LamaInpainterBackend
+            from ..inpaint.diffusion import DiffusionInpainterBackend
+            return PanoPersFusionInpainter(
+                LamaInpainterBackend(conf.get_path(
+                    "inpaint.checkpoint_dir", "./pre_checkpoints")),
+                DiffusionInpainterBackend(conf.get_path(
+                    "inpaint.checkpoint_dir", "./pre_checkpoints")),
+                gen_res=gen_res)
+        except Exception as e:  # missing checkpoints / module
+            if conf.get_path("inpaint.allow_fake_fallback", True):
+                print(f"[perf_tpu] inpainter '{kind}' unavailable ({e}); "
+                      "falling back to the fake fill backend")
+                return PanoPersFusionInpainter(FakeInpainter(),
+                                               gen_res=gen_res)
+            raise
+    raise ValueError(f"unknown pers_inpainter_type {kind!r}")
+
+
+def _train_config(tc: Config) -> TrainConfig:
+    def optim(oc):
+        return OptimConfig(init_lr=oc["init_lr"], peak_lr=oc["peak_lr"],
+                           peak_at=oc["peak_at"], lr_alpha=oc["lr_alpha"])
+    return TrainConfig(
+        raw_phase_iter_geo=tc["raw_phase_iter_geo"],
+        raw_phase_iter_app=tc["raw_phase_iter_app"],
+        pixel_loss_batch_size=tc["pixel_loss_batch_size"],
+        color_loss_weight=tc.get("color_loss_weight", 1.0),
+        depth_loss_weight=tc.get("depth_loss_weight", 1.0),
+        distortion_loss_weight=tc.get("distortion_loss_weight", 0.1),
+        density_loss_weight=tc.get("density_loss_weight", 0.0),
+        geo_optimizer=optim(tc["geo_optimizer"]),
+        app_optimizer=optim(tc["app_optimizer"]),
+        scan_chunk=tc.get("scan_chunk", 50),
+        ignore_near=tc.get("ignore_near", True),
+        cross_depth_check=tc.get("cross_depth_check", True),
+    )
+
+
+class CoreRunner:
+    def __init__(self, conf: Config):
+        self.conf = conf
+        seed = conf.get_path("seed", 0)
+        self.key = jax.random.PRNGKey(seed)
+
+        depth_backend, normal_backend = build_prior_backends(conf)
+        self.geo_predictor = PanoJointPredictor(
+            depth_backend, normal_backend,
+            cfg=self._joint_cfg(), seed=seed)
+
+        self.dataset = WildDataset(conf["dataset"], self.geo_predictor)
+
+        self.base_exp_dir = conf["device"]["base_exp_dir"]
+        self.exp_dir = pjoin(
+            self.base_exp_dir,
+            f"{conf['dataset_class_name']}_{self.dataset.case_name}",
+            conf["exp_name"])
+        os.makedirs(self.exp_dir, exist_ok=True)
+        record_dir = pjoin(self.exp_dir, "record")
+        os.makedirs(record_dir, exist_ok=True)
+        with open(pjoin(record_dir, "config.yaml"), "w") as f:
+            f.write(conf.to_yaml())
+
+        # scene
+        sc = conf["scene"]
+        assert sc.get("estimator_type", "occ") == "occ", \
+            "prop estimator: not implemented (broken in the reference too)"
+        rc = sc.get("renderer_conf", {})
+        self.render_cfg = RenderConfig(
+            bg_color=rc.get("bg_color", "rand_noise"),
+            max_samples=conf.get_path("scene.max_samples", 256),
+            step=conf.get_path("scene.march_step", 5e-4),
+            occ_res=conf.get_path("scene.occ_res", 256),
+        )
+        fc = conf.get_path("scene.field", {}) or {}
+        if fc:
+            from ..kernels import HashGridConfig
+            self.field_cfg = NGPFieldConfig(grid=HashGridConfig(
+                n_levels=fc.get("n_levels", 16),
+                n_features=fc.get("n_features", 2),
+                log2_table_size=fc.get("log2_table_size", 18),
+                base_res=fc.get("base_res", 16),
+                per_level_scale=fc.get("per_level_scale", 1.4472692012786865)))
+        else:
+            self.field_cfg = NGPFieldConfig()
+        writer = MetricsWriter(pjoin(self.exp_dir, "ts_log"))
+        self.scene = NeRFScene(self.field_cfg, self.render_cfg,
+                               _train_config(sc["train_conf"]),
+                               self._next_key(), writer=writer)
+
+        # startup vis (reference core_exp_runner.py:67-72)
+        write_image(pjoin(self.exp_dir, "distance_vis.png"),
+                    colorize_single_channel_image(
+                        (float(jnp.min(self.dataset.ref_distance)) + 1e-6)
+                        / (np.asarray(self.dataset.ref_distance) + 1e-6)))
+        if self.dataset.ref_normal is not None:
+            write_image(pjoin(self.exp_dir, "normal_vis.png"),
+                        np.asarray(self.dataset.ref_normal) * 0.5 + 0.5)
+
+        self.pose_sampler = CirclePoseSampler(
+            np.asarray(self.dataset.ref_distance),
+            traverse_ratios=tuple(conf["pose_sampler"]["traverse_ratios"]),
+            n_anchors_per_ratio=tuple(conf["pose_sampler"]["n_anchors_per_ratio"]))
+
+        self.sup_pool = SupInfoPool()
+        self.sup_pool.register_sup_info(
+            pose=np.eye(4, dtype=np.float32),
+            mask=np.ones((self.dataset.height, self.dataset.width)),
+            rgb=self.dataset.image,
+            distance=self.dataset.ref_distance,
+            normal=self.dataset.ref_normal)
+
+        self.inpainter = build_inpainter(conf)
+        self.phase = -1
+
+        if conf.get("is_continue", False):
+            self.load_checkpoint("ckpt.npz")
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _joint_cfg(self) -> JointPredictorConfig:
+        over = self.conf.get_path("priors.joint", {}) or {}
+        kw = {k: over[k] for k in
+              ("gen_res", "local_batch", "iters_per_phase", "scan_chunk")
+              if k in over}
+        if "ratios" in over:
+            kw["ratios"] = tuple(over["ratios"])
+        return JointPredictorConfig(**kw)
+
+    def execute(self, mode: str):
+        if mode == "train":
+            self.train()
+        elif mode == "render_dense":
+            self.render_dense()
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+    # -- training loop -----------------------------------------------------------
+
+    def train(self, raw_only: bool = False):
+        h, w = self.dataset.height, self.dataset.width
+        if self.phase < 0:
+            self.scene.fit(self.sup_pool)
+            out = self.scene.render(gen_pano_rays(jnp.eye(4), 512, 1024),
+                                    query_keys=("rgb", "distance"))
+            write_image(pjoin(self.exp_dir, "1.png"), np.asarray(out["rgb"]))
+            disp = (float(jnp.min(out["distance"]))
+                    / np.asarray(out["distance"])).squeeze()
+            write_image(pjoin(self.exp_dir, "1_distance.png"),
+                        colorize_single_channel_image(disp))
+            self.phase += 1
+            self.save_checkpoint()
+            if raw_only:
+                return
+
+        for anchor_idx in range(self.pose_sampler.n_anchors):
+            if anchor_idx < self.phase:
+                continue
+            pose = jnp.asarray(self.pose_sampler.sample_pose(anchor_idx))
+            rays = gen_pano_rays(pose, h, w)
+
+            visi_mask = self.scene.get_pano_visibility_mask(self.sup_pool, rays)
+            out = self.scene.render(rays, query_keys=("rgb", "distance"))
+            colors, distances = out["rgb"], out["distance"]
+            inpaint_mask = 1.0 - visi_mask
+
+            normals = None
+            if float(visi_mask.min()) <= 0.5:
+                colors, distances, normals = self.inpaint_new_panorama(
+                    0, anchor_idx, colors, distances, inpaint_mask)
+                conflict = 1.0 - self.sup_pool.geo_check(rays, distances)
+                inpaint_mask = inpaint_mask * conflict
+
+            distances = jnp.asarray(distances).reshape(h, w, 1)
+            # never supervise content that came out too close (reference
+            # core_exp_runner.py:165-167)
+            inpaint_mask = jnp.maximum(inpaint_mask,
+                                       (distances[..., 0] < 0.1).astype(jnp.float32))
+            inpaint_mask = jnp.minimum(inpaint_mask, 1.0 - visi_mask)
+
+            vis_dir = pjoin(self.exp_dir, "inpaint_vis", f"{anchor_idx:04d}")
+            write_image(pjoin(vis_dir, "final_mask.jpg"),
+                        np.asarray(inpaint_mask))
+            write_image(pjoin(vis_dir, "final_masked.jpg"),
+                        np.asarray(colors * (1.0 - inpaint_mask)[..., None]))
+
+            sup_mask = (1.0 - visi_mask)
+            sup_mask = sup_mask - jnp.minimum(sup_mask, inpaint_mask)
+
+            self.sup_pool.register_sup_info(
+                pose=np.asarray(pose), mask=np.asarray(sup_mask),
+                rgb=np.asarray(colors), distance=np.asarray(distances),
+                normal=np.asarray(normals) if normals is not None else None)
+            self.scene.fit(self.sup_pool)
+
+            self.phase += 1
+            self.save_checkpoint()
+
+    def inpaint_new_panorama(self, sub_i: int, anchor_idx: int,
+                             colors, distances, mask):
+        h, w = colors.shape[0], colors.shape[1]
+        distances = jnp.asarray(distances).reshape(h, w, 1)
+        mask = jnp.asarray(mask).reshape(h, w)
+        vis_dir = pjoin(self.exp_dir, "inpaint_vis", f"{anchor_idx:04d}")
+        write_image(pjoin(vis_dir, f"uninpainted_{sub_i}.jpg"), np.asarray(colors))
+        write_image(pjoin(vis_dir, f"mask_{sub_i}.jpg"), np.asarray(mask))
+        write_image(pjoin(vis_dir, f"masked_{sub_i}.jpg"),
+                    np.asarray(colors * (1.0 - mask)[..., None]))
+
+        inpainted = self.inpainter.inpaint(colors, mask)
+        write_image(pjoin(vis_dir, f"inpainted_{sub_i}.jpg"), np.asarray(inpainted))
+
+        new_dist, new_normal = self.geo_predictor(
+            inpainted, distances, mask,
+            reg_loss_weight=0.0, normal_loss_weight=5e-2,
+            normal_tv_loss_weight=5e-2)
+        write_image(pjoin(vis_dir, f"aligned_disparity_{sub_i}.jpg"),
+                    colorize_single_channel_image(
+                        float(jnp.min(new_dist)) / np.asarray(new_dist)))
+        write_image(pjoin(vis_dir, f"aligned_normals_{sub_i}.jpg"),
+                    np.clip(np.asarray(new_normal) * 0.5 + 0.5, 0, 1))
+        return inpainted, new_dist, new_normal
+
+    # -- dense render --------------------------------------------------------------
+
+    def render_dense(self, n_poses: int | None = None,
+                     cam_type: str | None = None):
+        n_poses = n_poses or self.conf.get_path("render_dense.n_poses", 180)
+        cam_type = cam_type or self.conf.get_path("render_dense.cam_type", "pano")
+        rh = self.conf.get_path("render_dense.height", 512)
+        rw = self.conf.get_path("render_dense.width", 1024)
+        dense = DenseTravelPoseSampler(self.pose_sampler,
+                                       n_dense_poses=n_poses)
+        out_dir = pjoin(self.exp_dir, "dense_images_new_" + cam_type)
+        os.makedirs(out_dir, exist_ok=True)
+        frames = []
+        for i in range(dense.n_poses):
+            pose = dense.sample_pose(i).copy()
+            if cam_type == "pano":
+                pose[:3, :3] = np.eye(3)
+                rays = gen_pano_rays(jnp.asarray(pose), rh, rw)
+            else:
+                rays = gen_pers_rays(jnp.asarray(pose),
+                                     fov=float(np.deg2rad(75.0)), res=rh)
+            out = self.scene.render(rays, query_keys=("rgb", "distance"))
+            rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
+            frames.append((rgb * 255).astype(np.uint8))
+            write_image(pjoin(out_dir, f"image_{i}.png"), rgb)
+            write_image(pjoin(out_dir, f"distance_{i}.png"),
+                        colorize_single_channel_image(
+                            1.0 / np.asarray(out["distance"])))
+        write_video(pjoin(out_dir, "video.mp4"), frames, fps=30)
+
+    # -- checkpointing ----------------------------------------------------------------
+
+    def save_checkpoint(self):
+        path = pjoin(self.exp_dir, "checkpoints", "ckpt.npz")
+        save_checkpoint(path, {
+            "scene": self.scene.state_dict(),
+            "sup_pool": self.sup_pool.state_dict(),
+            "phase": self.phase,
+        })
+
+    def load_checkpoint(self, name: str):
+        state = load_checkpoint(pjoin(self.exp_dir, "checkpoints", name))
+        self.scene.load_state_dict(state["scene"])
+        self.phase = int(state["phase"])
+        # full sup-pool restore — the reference silently drops this
+        pool = SupInfoPool()
+        pool.load_state_dict(state["sup_pool"])
+        self.sup_pool = pool
