@@ -4,3 +4,4 @@ from .occgrid import (
 )
 from .renderer import RenderConfig, march_rays, render_rays, render_image
 from ..kernels.distortion import distortion_loss, distortion_loss_bruteforce
+from .prop import PropRenderConfig, render_rays_prop, prop_loss

@@ -1,0 +1,154 @@
+"""Proposal-network rendering path (the reference's ``NeRFPropRenderer``).
+
+The reference ships this path BROKEN — ``nerf_renderer.py:73`` calls
+``render_weight_from_alpha`` which is never imported, so selecting
+``estimator_type: prop`` crashes. This is a working TPU-native version:
+
+1. uniform stratified samples over [near, far],
+2. for each proposal field: evaluate densities, form weights, and
+   importance-resample via inverse-CDF ``searchsorted`` (nerfacc's
+   PropNetEstimator equivalent, dense [rays, samples] layout),
+3. final field evaluation + alpha compositing with the reference's
+   background conventions; the last proposal sample's density is treated as
+   infinite (``nerf_renderer.py:44``: ``sigmas[..., -1, :] = inf``).
+
+Proposal supervision (the PDF-matching loss that trains the proposal fields)
+is exposed as ``prop_loss``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.ngp import (
+    NGPFieldConfig, NGPDensityFieldConfig, query_density_field,
+    query_density_coords, query_rgb_coords,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PropRenderConfig:
+    near: float = 1e-2
+    far: float = 2.0
+    n_samples: int = 64
+    n_samples_per_prop: tuple = (128, 64)
+    bg_color: str = "rand_noise"
+
+
+def _sample_from_weights(key, t_edges, weights, n_new, stratified):
+    """Inverse-CDF resampling: t_edges [N, M+1], weights [N, M] -> [N, n_new+1]
+    new edges (piecewise-linear CDF inversion, nerfacc/mipnerf style)."""
+    eps = 1e-5
+    w = weights + eps
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(w[:, :1]), jnp.cumsum(w, -1)], axis=-1)
+    cdf = cdf / cdf[:, -1:]
+    n = t_edges.shape[0]
+    if stratified:
+        u = (jnp.arange(n_new + 1) / (n_new + 1))[None]
+        u = u + jax.random.uniform(key, (n, 1)) / (n_new + 1)
+    else:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_new + 1)[None],
+                             (n, n_new + 1))
+    idx = jnp.clip(jax.vmap(jnp.searchsorted)(cdf, u), 1, cdf.shape[1] - 1)
+    cdf_lo = jnp.take_along_axis(cdf, idx - 1, 1)
+    cdf_hi = jnp.take_along_axis(cdf, idx, 1)
+    t_lo = jnp.take_along_axis(t_edges, idx - 1, 1)
+    t_hi = jnp.take_along_axis(t_edges, idx, 1)
+    frac = jnp.clip((u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-10), 0, 1)
+    return t_lo + frac * (t_hi - t_lo)
+
+
+def _weights_from_density(sigma, t_edges):
+    dt = t_edges[:, 1:] - t_edges[:, :-1]
+    tau = sigma * dt
+    trans = jnp.exp(-(jnp.cumsum(tau, -1) - tau))
+    alpha = 1.0 - jnp.exp(-tau)
+    return trans * alpha
+
+
+def render_rays_prop(params: dict, prop_params: list,
+                     field_cfg: NGPFieldConfig,
+                     prop_cfgs: list, rays_o, rays_d, key,
+                     cfg: PropRenderConfig, train: bool) -> dict:
+    """params: {'geo', 'app'}; prop_params/prop_cfgs: proposal fields."""
+    n = rays_o.shape[0]
+    k_strat, k_res, k_bg = jax.random.split(key, 3)
+
+    # level 0: uniform edges
+    edges = jnp.broadcast_to(
+        jnp.linspace(cfg.near, cfg.far, cfg.n_samples_per_prop[0] + 1)[None],
+        (n, cfg.n_samples_per_prop[0] + 1))
+    if train:
+        jitter = jax.random.uniform(k_strat, (n, 1))
+        step = (cfg.far - cfg.near) / cfg.n_samples_per_prop[0]
+        edges = edges + jitter * step
+
+    aux = []
+    counts = list(cfg.n_samples_per_prop[1:]) + [cfg.n_samples]
+    for level, (pp, pc) in enumerate(zip(prop_params, prop_cfgs)):
+        mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+        px = rays_o[:, 0:1] + rays_d[:, 0:1] * mids
+        py = rays_o[:, 1:2] + rays_d[:, 1:2] * mids
+        pz = rays_o[:, 2:3] + rays_d[:, 2:3] * mids
+        pos = jnp.stack([px, py, pz], axis=-1)
+        sigma = query_density_field(pp, pos, pc)[..., 0]
+        # nerf_renderer.py:44 uses literal inf; a large finite value avoids
+        # inf*0=NaN on zero-width resampled intervals
+        sigma = sigma.at[:, -1].set(1e10)
+        w = _weights_from_density(sigma, edges)
+        aux.append({"edges": edges, "weights": w})
+        k_res, k = jax.random.split(k_res)
+        edges = _sample_from_weights(k, edges, w, counts[level], train)
+        edges = jax.lax.stop_gradient(edges)
+
+    # final field
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    px = rays_o[:, 0:1] + rays_d[:, 0:1] * mids
+    py = rays_o[:, 1:2] + rays_d[:, 1:2] * mids
+    pz = rays_o[:, 2:3] + rays_d[:, 2:3] * mids
+    sigma = query_density_coords(params["geo"], px, py, pz, field_cfg)
+    weights = _weights_from_density(sigma, edges)
+    r, g, b = query_rgb_coords(params["app"], px, py, pz, field_cfg)
+    opacity = jnp.sum(weights, -1, keepdims=True)
+    colors = jnp.stack([jnp.sum(weights * c, -1) for c in (r, g, b)], -1)
+    distance = jnp.sum(weights * mids, -1, keepdims=True)
+
+    if cfg.bg_color == "rand_noise":
+        bg = jax.random.uniform(k_bg, (n, 3))
+    elif cfg.bg_color == "white":
+        bg = jnp.ones((n, 3))
+    else:
+        bg = jnp.zeros((n, 3))
+    colors = colors + bg * (1.0 - opacity)
+    distance = distance + jax.random.uniform(
+        jax.random.fold_in(k_bg, 1), distance.shape) * (1.0 - opacity)
+
+    return {"rgb": colors, "distance": distance, "opacity": opacity,
+            "weights": weights, "t_edges": edges, "prop_aux": aux}
+
+
+def prop_loss(final_edges, final_weights, prop_aux) -> jnp.ndarray:
+    """Proposal PDF-matching loss (nerfacc PropNetEstimator.compute_loss /
+    mip-NeRF 360 eq. 13): penalize proposal bins that under-estimate the
+    final weights they overlap."""
+    loss = 0.0
+    w_final = jax.lax.stop_gradient(final_weights)
+    t_final = jax.lax.stop_gradient(final_edges)
+    for level in prop_aux:
+        te, wp = level["edges"], level["weights"]
+        # bound: for each final interval, the proposal mass covering it
+        cdf_p = jnp.concatenate(
+            [jnp.zeros_like(wp[:, :1]), jnp.cumsum(wp, -1)], -1)
+        lo = jax.vmap(jnp.searchsorted)(te, t_final[:, :-1])
+        hi = jax.vmap(jnp.searchsorted)(te, t_final[:, 1:])
+        lo = jnp.clip(lo - 1, 0, cdf_p.shape[1] - 1)
+        hi = jnp.clip(hi, 0, cdf_p.shape[1] - 1)
+        bound = (jnp.take_along_axis(cdf_p, hi, 1)
+                 - jnp.take_along_axis(cdf_p, lo, 1))
+        excess = jnp.clip(w_final - bound, 0.0, None)
+        loss = loss + jnp.mean(excess ** 2 / (w_final + 1e-7))
+    return loss

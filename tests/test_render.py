@@ -166,3 +166,36 @@ def test_ema_update_from_density():
     pts_inside = binary[int((0.5 * res)) * res * res + (res // 2) * res + (res // 2)]
     assert bool(pts_inside)
     assert float(binary.mean()) < 0.3  # most of space empty
+
+
+def test_prop_renderer_path():
+    """The proposal path must run and composite sanely (the reference ships
+    this path broken — nerf_renderer.py:73 NameError)."""
+    import jax
+    from perf_tpu.fields import (
+        NGPDensityFieldConfig, init_density_field, init_ngp_params,
+    )
+    from perf_tpu.render import PropRenderConfig, render_rays_prop, prop_loss
+
+    field_cfg = _tiny_field_cfg()
+    params = init_ngp_params(jax.random.PRNGKey(0), field_cfg)
+    prop_cfgs = [
+        NGPDensityFieldConfig(n_levels=3, log2_table_size=10, max_res=64),
+        NGPDensityFieldConfig(n_levels=3, log2_table_size=10, max_res=128),
+    ]
+    prop_params = [init_density_field(jax.random.PRNGKey(i + 1), c)
+                   for i, c in enumerate(prop_cfgs)]
+    o = jnp.zeros((16, 3))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (16, 1))
+    cfg = PropRenderConfig(n_samples=32, n_samples_per_prop=(64, 32))
+    out = render_rays_prop(params, prop_params, field_cfg, prop_cfgs, o, d,
+                           jax.random.PRNGKey(2), cfg, train=True)
+    assert out["rgb"].shape == (16, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    w = np.asarray(out["weights"])
+    assert (w >= 0).all() and (w.sum(-1) <= 1.0 + 1e-4).all()
+    # resampled edges are sorted
+    te = np.asarray(out["t_edges"])
+    assert (np.diff(te, axis=-1) >= -1e-6).all()
+    loss = prop_loss(out["t_edges"], out["weights"], out["prop_aux"])
+    assert np.isfinite(float(loss))
