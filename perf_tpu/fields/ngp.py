@@ -30,6 +30,29 @@ from ..kernels.hashgrid import (
     HashGridConfig, hash_encode, hash_encode_coords, hash_encode_ray,
     init_hash_table, level_strides,
 )
+from ..kernels.brickgrid import (
+    BrickGridConfig, brick_encode, brick_encode_ray, init_brick_table,
+)
+
+
+def _is_brick(grid) -> bool:
+    return isinstance(grid, BrickGridConfig)
+
+
+def init_grid_table(key, grid):
+    return init_brick_table(key, grid) if _is_brick(grid) else init_hash_table(key, grid)
+
+
+def encode_coords(table, x, y, z, grid):
+    if _is_brick(grid):
+        return brick_encode(table, jnp.stack([x, y, z], axis=-1), grid)
+    return hash_encode_coords(table, x, y, z, grid)
+
+
+def encode_ray(table, x, y, z, grid, strides):
+    if _is_brick(grid):
+        return brick_encode_ray(table, x, y, z, grid, strides)
+    return hash_encode_ray(table, x, y, z, grid, strides)
 from .mlp import ngp_mlp_init, ngp_mlp_apply, ngp_mlp_apply_channels
 
 
@@ -71,7 +94,7 @@ class NGPFieldConfig:
 def init_geo_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
     k1, k2 = jax.random.split(key)
     return {
-        "table": init_hash_table(k1, cfg.grid),
+        "table": init_grid_table(k1, cfg.grid),
         "mlp": ngp_mlp_init(k2, cfg.grid.out_dim, 1, cfg.n_neurons, cfg.geo_hidden),
     }
 
@@ -79,7 +102,7 @@ def init_geo_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
 def init_app_params(key: jax.Array, cfg: NGPFieldConfig) -> dict:
     k1, k2 = jax.random.split(key)
     return {
-        "table": init_hash_table(k1, cfg.grid),
+        "table": init_grid_table(k1, cfg.grid),
         "mlp": ngp_mlp_init(k2, cfg.grid.out_dim, 3, cfg.n_neurons, cfg.app_hidden),
     }
 
@@ -112,7 +135,7 @@ def query_density_coords(geo_params: dict, x, y, z,
     (8, 128) tiling would pad 42x (see kernels/hashgrid.py).
     """
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = hash_encode_coords(geo_params["table"], nx, ny, nz, cfg.grid)
+    feats = encode_coords(geo_params["table"], nx, ny, nz, cfg.grid)
     (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
     return trunc_exp(raw) * sel
 
@@ -120,7 +143,7 @@ def query_density_coords(geo_params: dict, x, y, z,
 def query_rgb_coords(app_params: dict, x, y, z, cfg: NGPFieldConfig):
     """RGB at world coords -> tuple (r, g, b) of [...] arrays."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = hash_encode_coords(app_params["table"], nx, ny, nz, cfg.grid)
+    feats = encode_coords(app_params["table"], nx, ny, nz, cfg.grid)
     r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
                                      out_activation=jax.nn.sigmoid)
     return (r * sel, g * sel, b * sel)
@@ -130,7 +153,7 @@ def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
                       strides: tuple) -> jnp.ndarray:
     """Density at ray-structured coords [N, S] with per-level subsampling."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = hash_encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides)
+    feats = encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides)
     (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
     return trunc_exp(raw) * sel
 
@@ -139,7 +162,7 @@ def query_rgb_ray(app_params: dict, x, y, z, cfg: NGPFieldConfig,
                   strides: tuple):
     """RGB at ray-structured coords [N, S] -> (r, g, b) arrays."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = hash_encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides)
+    feats = encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides)
     r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
                                      out_activation=jax.nn.sigmoid)
     return (r * sel, g * sel, b * sel)

@@ -3,3 +3,7 @@ from .hashgrid import (
     hash_encode_coords, hash_encode_ray, hash_encode_numpy, level_strides,
     encode_level_coords,
 )
+from .brickgrid import (
+    BrickGridConfig, init_brick_table, brick_encode, brick_encode_ray,
+    brick_encode_numpy,
+)

@@ -26,6 +26,13 @@ class DenseTravelPoseSampler(PoseSampler):
         sparse = np.stack([sparse_pose_sampler.sample_pose(i)
                            for i in range(sparse_pose_sampler.n_poses)])
         positions = sparse[:, :3, 3]
+        if len(positions) < 2:
+            # degenerate single-anchor case: orbit a small circle around it
+            ang = np.linspace(0, 2 * np.pi, max(n_dense_poses, 8),
+                              endpoint=False)
+            ring = np.stack([np.cos(ang), np.sin(ang),
+                             np.zeros_like(ang)], -1) * 0.05
+            positions = positions.reshape(1, 3) + ring.astype(np.float32)
         order = solve_tour(positions, n_steps=anneal_steps, seed=seed)
         pts_sparse = positions[order]
 

@@ -42,11 +42,28 @@ def write_image(path: str, img) -> None:
 
 
 def write_video(path: str, frames, fps: int = 30) -> None:
-    import imageio
+    """mp4 writer: imageio(ffmpeg) when available, cv2.VideoWriter fallback
+    (this image has no imageio-ffmpeg plugin)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with imageio.get_writer(path, fps=fps) as w:
-        for f in frames:
-            w.append_data(np.asarray(f))
+    try:
+        import imageio
+        with imageio.get_writer(path, fps=fps) as w:
+            for f in frames:
+                w.append_data(np.asarray(f))
+        return
+    except Exception:
+        pass
+    import cv2
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(f"no video backend available for {path}")
+    for f in frames:
+        if f.dtype != np.uint8:
+            f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
 
 
 def colorize_single_channel_image(img) -> np.ndarray:
