@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--field", choices=("hash", "brick"), default="brick",
+                    help="grid encoding; 'brick' is the TPU-flagship layout")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,11 @@ def main():
         batch, render_hw = 1024, (64, 128)
     else:
         h, w = 1024, 2048
-        field_cfg = NGPFieldConfig()
+        if args.field == "brick":
+            from perf_tpu.kernels import BrickGridConfig
+            field_cfg = NGPFieldConfig(grid=BrickGridConfig())
+        else:
+            field_cfg = NGPFieldConfig()
         render_cfg = RenderConfig(
             max_samples=args.max_samples or 256)
         batch, render_hw = 8192, (512, 1024)
@@ -134,7 +140,7 @@ def main():
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,
-            "tiny": args.tiny,
+            "tiny": args.tiny, "field": args.field,
         },
     }))
 

@@ -136,7 +136,17 @@ class CoreRunner:
             occ_res=conf.get_path("scene.occ_res", 256),
         )
         fc = conf.get_path("scene.field", {}) or {}
-        if fc:
+        kind = fc.get("kind", "hash")
+        if kind == "brick":
+            from ..kernels import BrickGridConfig
+            grid = BrickGridConfig(
+                n_levels=fc.get("n_levels", 16),
+                n_features=fc.get("n_features", 2),
+                log2_bricks=fc.get("log2_bricks", 11),
+                base_res=fc.get("base_res", 16),
+                per_level_scale=fc.get("per_level_scale", 1.4472692012786865))
+            self.field_cfg = NGPFieldConfig(grid=grid)
+        elif fc:
             from ..kernels import HashGridConfig
             self.field_cfg = NGPFieldConfig(grid=HashGridConfig(
                 n_levels=fc.get("n_levels", 16),

@@ -55,19 +55,27 @@ def ngp_mlp_apply(params: dict, x: jnp.ndarray,
 
 
 def ngp_mlp_apply_channels(params: dict, x: jnp.ndarray,
-                           out_activation=None) -> tuple:
+                           out_activation=None,
+                           compute_dtype=jnp.bfloat16) -> tuple:
     """Like ``ngp_mlp_apply`` but returns per-output-channel [...] arrays.
 
     The final narrow matmul (64 -> 1 or 3) is expressed as per-channel
     reductions so no [..., 1] / [..., 3] tensor is ever materialized — on TPU
     those pad to 128 lanes (up to 128x memory blow-up at volume-sample
     counts).
+
+    Matmuls run in ``compute_dtype`` (bf16 by default — the MXU's native
+    precision, and what tcnn's fp16 FullyFusedMLP implies for parity) with
+    f32 accumulation; params stay f32 for the optimizer.
     """
     ws = params["w"]
-    h = x
+    h = x.astype(compute_dtype)
     for w in ws[:-1]:
-        h = jax.nn.relu(h @ w)
+        h = jnp.dot(h, w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        h = jax.nn.relu(h).astype(compute_dtype)
     w_last = ws[-1]
+    h = h.astype(jnp.float32)
     outs = []
     for c in range(w_last.shape[1]):
         o = jnp.sum(h * w_last[:, c], axis=-1)
