@@ -203,3 +203,45 @@ def gen_pers_rays(pose: jnp.ndarray, fov: float, res: int) -> Rays:
 
 def get_panorama_sphere_points(h: int, w: int) -> jnp.ndarray:
     return normalize(img_coord_to_pano_direction(img_coord_from_hw(h, w)))
+
+
+def ang2vec(angles: jnp.ndarray) -> jnp.ndarray:
+    """(azimuth, elevation) [..., 2] -> unit vectors [..., 3]
+    (reference ``camera_utils.py:101-109``)."""
+    ax, ay = angles[..., 0], angles[..., 1]
+    return jnp.stack([jnp.cos(ax) * jnp.cos(ay),
+                      jnp.sin(ax) * jnp.cos(ay),
+                      jnp.sin(ay)], axis=-1)
+
+
+def get_rand_horizontal_points(key, batch_size: int, dim: int = 3):
+    """Uniform points in the unit disk (z=0 when dim=3)
+    (reference ``camera_utils.py:184-192``)."""
+    k1, k2 = jax.random.split(key)
+    rs = jnp.sqrt(jax.random.uniform(k1, (batch_size,)))
+    theta = (jax.random.uniform(k2, (batch_size,)) * 2.0 - 1.0) * jnp.pi
+    cols = [rs * jnp.cos(theta), rs * jnp.sin(theta)]
+    if dim == 3:
+        cols.append(jnp.zeros((batch_size,)))
+    return jnp.stack(cols, axis=-1)
+
+
+def pers_depth_to_normal(depth: jnp.ndarray, down_len: float,
+                         right_len: float) -> jnp.ndarray:
+    """Screen-space normals from a perspective depth map
+    (reference ``camera_utils.py:195-226``): back-project the pixel grid,
+    take forward differences, cross, orient toward the camera.
+    depth [H, W(, 1)] -> normals [H-1, W-1, 3]."""
+    if depth.ndim == 2:
+        depth = depth[..., None]
+    h, w = depth.shape[0], depth.shape[1]
+    ii = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    jj = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    jj, ii = jnp.meshgrid(jj, ii)
+    x = (jj * 2.0 - 1.0) * right_len
+    y = (ii * 2.0 - 1.0) * down_len
+    pts = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) * depth
+    right = normalize(pts[:-1, 1:] - pts[:-1, :-1])
+    down = normalize(pts[1:, :-1] - pts[:-1, :-1])
+    to = normalize(jnp.cross(right, down))
+    return -to

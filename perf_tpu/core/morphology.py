@@ -124,3 +124,21 @@ def binary_open_close(mask: jnp.ndarray, small: int, large: int,
         m = erosion(m, ellipse_kernel(large))
         m = dilation(m, ellipse_kernel(small))
     return m
+
+
+def align_scale(a, b, mask, q: float = 0.95) -> float:
+    """Quantile-trimmed global scale b/a (reference ``geo_utils.py:200-219``)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    mask = jnp.asarray(mask).astype(bool)
+
+    def clipped(x):
+        lo = jnp.quantile(x, 1.0 - q)
+        hi = jnp.quantile(x, q)
+        return (x >= lo) & (x <= hi)
+
+    m = mask & clipped(a) & clipped(b)
+    w = m.astype(a.dtype)
+    mean_a = jnp.sum(a * w) / jnp.maximum(jnp.sum(w), 1.0)
+    mean_b = jnp.sum(b * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return float(mean_b / mean_a)

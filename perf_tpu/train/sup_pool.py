@@ -147,15 +147,28 @@ class SupInfoPool:
         out["n_valid"] = jnp.asarray(n, jnp.int32)
         return out
 
-    def rand_ray_color_data(self, key, batch_size: int):
-        """Uniform supervision batch (reference ``rand_ray_color_data``,
-        'by_all_pixels' mode). Host-convenience wrapper; the hot path samples
-        inside the jitted step via the same formula."""
+    def rand_ray_color_data(self, key, batch_size: int,
+                            rand_mode: str = "by_all_pixels"):
+        """Uniform supervision batch (reference ``rand_ray_color_data``):
+        'by_all_pixels' samples the whole pool, 'only_first'/'only_last' one
+        pano. Host-convenience wrapper; the hot path samples inside the
+        jitted step via the same formula."""
         import jax
-        arrs = self.device_arrays()
+        assert rand_mode in ("by_all_pixels", "only_first", "only_last")
+        if rand_mode == "by_all_pixels":
+            arrs = self.device_arrays()
+            n = arrs["n_valid"]
+        else:
+            info = (self.sup_infos[0] if rand_mode == "only_first"
+                    else self.sup_infos[-1])
+            arrs = {"rays_o": jnp.asarray(info.sup_rays_o),
+                    "rays_d": jnp.asarray(info.sup_rays_d),
+                    "colors": jnp.asarray(info.sup_colors),
+                    "distances": jnp.asarray(info.sup_distances),
+                    "normals": jnp.asarray(info.sup_normals)}
+            n = jnp.asarray(info.sup_rays_o.shape[0], jnp.int32)
         u = jax.random.uniform(key, (batch_size,))
-        idx = jnp.minimum((u * arrs["n_valid"]).astype(jnp.int32),
-                          arrs["n_valid"] - 1)
+        idx = jnp.minimum((u * n).astype(jnp.int32), n - 1)
         rays = Rays(arrs["rays_o"][idx], arrs["rays_d"][idx])
         return (rays, arrs["colors"][idx], arrs["distances"][idx],
                 arrs["normals"][idx])
