@@ -61,8 +61,11 @@ def main():
             field_cfg = NGPFieldConfig(grid=BrickGridConfig())
         else:
             field_cfg = NGPFieldConfig()
+        # brick gathers materialize [chunk*samples, 128] rows; 8192-ray
+        # chunks keep that under 1 GB on a 16 GB chip
         render_cfg = RenderConfig(
-            max_samples=args.max_samples or 256)
+            max_samples=args.max_samples or 256,
+            eval_chunk=8192 if args.field == "brick" else 32768)
         batch, render_hw = 8192, (512, 1024)
     if args.max_samples:
         import dataclasses
@@ -74,10 +77,12 @@ def main():
     pool = SupInfoPool()
     pool.register_sup_info(np.eye(4, dtype=np.float32), np.ones((h, w)),
                            pano["rgb"], pano["distance"], pano["normal"])
-    # small scan chunks: the remote-TPU tunnel kills single dispatches
-    # that run for minutes, and per-chunk dispatch overhead (~25 ms) is
-    # negligible against step time.
-    train_cfg = TrainConfig(pixel_loss_batch_size=batch, scan_chunk=5)
+    # scan_chunk=1: lax.scan over this step measured ~4x SLOWER than
+    # per-step dispatch on TPU (scheduler can't overlap the remat'd
+    # backward inside the loop), and the ~25 ms tunnel dispatch overhead
+    # is negligible against the ~0.7 s step.
+    train_cfg = TrainConfig(pixel_loss_batch_size=batch,
+                            scan_chunk=1 if not args.tiny else 5)
     scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
     scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
     arrs = pool.device_arrays()

@@ -25,6 +25,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..kernels.hashgrid import (
     HashGridConfig, hash_encode, hash_encode_coords, hash_encode_ray,
@@ -154,6 +155,10 @@ def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
     """Density at ray-structured coords [N, S] with per-level subsampling."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
     feats = encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides)
+    # named so a remat policy can SAVE the (bf16) encodings: the backward
+    # then never re-runs the gathers (it only needs the interp weights,
+    # recomputable from coords, plus the saved features for the MLP grads)
+    feats = checkpoint_name(feats.astype(jnp.bfloat16), "enc_feats")
     (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
     return trunc_exp(raw) * sel
 
@@ -163,6 +168,7 @@ def query_rgb_ray(app_params: dict, x, y, z, cfg: NGPFieldConfig,
     """RGB at ray-structured coords [N, S] -> (r, g, b) arrays."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
     feats = encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides)
+    feats = checkpoint_name(feats.astype(jnp.bfloat16), "enc_feats")
     r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
                                      out_activation=jax.nn.sigmoid)
     return (r * sel, g * sel, b * sel)

@@ -50,6 +50,7 @@ class RenderConfig:
     bg_color: str = "rand_noise"  # 'rand_noise' | 'white' | 'black'
     eval_bg_distance: float = 5.0
     remat: bool = True
+    eval_chunk: int = 32768   # rays per eval-render dispatch (HBM-bound)
     # TPU-perf knobs (both are principled approximations, see march_rays /
     # kernels.hashgrid.level_strides):
     march_coarse: int = 8       # occupancy probed once per this many steps
@@ -156,8 +157,11 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         rgb_fn = lambda x, y, z: query_rgb_coords(params["app"], x, y, z,
                                                   field_cfg)
     if cfg.remat:
-        dens_fn = jax.checkpoint(dens_fn)
-        rgb_fn = jax.checkpoint(rgb_fn)
+        # save the bf16 encodings across the remat boundary: backward
+        # recomputes only the (cheap) interp weights + MLP, not the gathers
+        policy = jax.checkpoint_policies.save_only_these_names("enc_feats")
+        dens_fn = jax.checkpoint(dens_fn, policy=policy)
+        rgb_fn = jax.checkpoint(rgb_fn, policy=policy)
 
     sigma = dens_fn(px, py, pz)
     if stop_geo_grad:

@@ -240,12 +240,12 @@ class NeRFScene:
         self.writer.flush()
         return {"geo_losses": geo_losses, "app_losses": app_losses}
 
-    def render(self, rays: Rays, query_keys=("rgb",), key=None, chunk=32768):
+    def render(self, rays: Rays, query_keys=("rgb",), key=None, chunk=None):
         """Chunked eval render (``nerf.py:74-99``)."""
         return render_image(self.params, self.field_cfg, self.occ_grid, rays,
                             key if key is not None else self._next_key(),
                             self.render_cfg, query_keys=query_keys,
-                            chunk=chunk)
+                            chunk=chunk or self.render_cfg.eval_chunk)
 
     def get_pano_visibility_mask(self, sup_pool: SupInfoPool,
                                  rays: Rays) -> jnp.ndarray:
