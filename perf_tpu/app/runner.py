@@ -284,6 +284,14 @@ class CoreRunner:
         write_image(pjoin(vis_dir, f"masked_{sub_i}.jpg"),
                     np.asarray(colors * (1.0 - mask)[..., None]))
 
+        if self.conf.get("rgbd_inpaint", False):
+            # joint RGB-D inpainting path (reference core_exp_runner.py:192-195)
+            inpainted, new_dist = self.inpainter.inpaint_rgbd(colors,
+                                                              distances, mask)
+            write_image(pjoin(vis_dir, f"inpainted_{sub_i}.jpg"),
+                        np.asarray(inpainted))
+            return inpainted, new_dist, None
+
         inpainted = self.inpainter.inpaint(colors, mask)
         write_image(pjoin(vis_dir, f"inpainted_{sub_i}.jpg"), np.asarray(inpainted))
 

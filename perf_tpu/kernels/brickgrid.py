@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861)
-BRICK = 4          # voxels per brick edge
+BRICK = 4          # voxels per brick edge (default)
 BLANE = 5          # corners per brick edge (overlap 1)
 ROW = 128          # padded row width (125 used)
 
@@ -46,6 +46,10 @@ class BrickGridConfig:
     base_res: int = 16
     per_level_scale: float = 1.4472692012786865
     interpolation: str = "linear"
+    # bf16 table storage: f32 master params (Adam-friendly), gathers read a
+    # bf16 view, gradients scatter-accumulate in f32 (custom vjp) — halves
+    # the dominant gather/scatter bandwidth
+    bf16_table: bool = True
 
     @property
     def n_bricks(self) -> int:
@@ -61,6 +65,31 @@ class BrickGridConfig:
     def level_bricks(self, level: int) -> int:
         # bricks per axis covering corner range [0, res]
         return self.level_res(level) // BRICK + 1
+
+
+@jax.custom_vjp
+def gather_rows_lowp(table: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows from a bf16 view of an f32 table, f32-accumulated grads.
+
+    Forward fetches 256-byte bf16 rows (half the bandwidth of f32); backward
+    scatter-adds into an f32 cotangent so tiny per-step updates don't vanish
+    in bf16 accumulation. The bf16 rounding of the VALUES is the same
+    precision regime as tcnn's fp16 tables.
+    """
+    return table.astype(jnp.bfloat16)[rows].astype(jnp.float32)
+
+
+def _gather_rows_fwd(table, rows):
+    return gather_rows_lowp(table, rows), (rows, table.shape)
+
+
+def _gather_rows_bwd(res, g):
+    rows, shape = res
+    gt = jnp.zeros(shape, jnp.float32).at[rows].add(g.astype(jnp.float32))
+    return gt, None
+
+
+gather_rows_lowp.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def init_brick_table(key: jax.Array, cfg: BrickGridConfig,
@@ -103,7 +132,7 @@ def _axis_weight_vec(local, frac):
 
 
 def encode_brick_level(table_lf, level_res: int, nb: int, x, y, z,
-                       smooth: bool) -> list:
+                       smooth: bool, bf16_table: bool = True) -> list:
     """One level: table_lf [F, n_bricks, 128]; coords arbitrary shape [...].
     Returns F arrays shaped like x."""
     bx, lx, fx = _axis_split(x, level_res, smooth)
@@ -120,7 +149,10 @@ def encode_brick_level(table_lf, level_res: int, nb: int, x, y, z,
 
     outs = []
     for f in range(table_lf.shape[0]):
-        row = table_lf[f][rows]                       # [..., 128]
+        if bf16_table:
+            row = gather_rows_lowp(table_lf[f], rows)  # [..., 128]
+        else:
+            row = table_lf[f][rows]
         outs.append(jnp.sum(row[..., : BLANE ** 3] * w, axis=-1))
     return outs
 
@@ -139,13 +171,14 @@ def brick_encode_ray(table: jnp.ndarray, x, y, z, cfg: BrickGridConfig,
         nb = cfg.level_bricks(lvl)
         if k == 1:
             outs.extend(encode_brick_level(table[lvl], res, nb, x, y, z,
-                                           smooth))
+                                           smooth, cfg.bf16_table))
             continue
         assert s % k == 0
         xs = jnp.concatenate([x[:, ::k], x[:, -1:]], axis=1)
         ys = jnp.concatenate([y[:, ::k], y[:, -1:]], axis=1)
         zs = jnp.concatenate([z[:, ::k], z[:, -1:]], axis=1)
-        feats = encode_brick_level(table[lvl], res, nb, xs, ys, zs, smooth)
+        feats = encode_brick_level(table[lvl], res, nb, xs, ys, zs, smooth,
+                                   cfg.bf16_table)
         outs.extend(_lerp_upsample(f, k, s) for f in feats)
     return jnp.stack(outs, axis=-1)
 
@@ -158,7 +191,7 @@ def brick_encode(table: jnp.ndarray, x: jnp.ndarray,
     for lvl in range(cfg.n_levels):
         outs.extend(encode_brick_level(
             table[lvl], cfg.level_res(lvl), cfg.level_bricks(lvl),
-            x[..., 0], x[..., 1], x[..., 2], smooth))
+            x[..., 0], x[..., 1], x[..., 2], smooth, cfg.bf16_table))
     return jnp.stack(outs, axis=-1)
 
 

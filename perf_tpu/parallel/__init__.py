@@ -3,3 +3,4 @@ from .mesh import (
     shard_rays,
 )
 from .dp import build_dp_train_step
+from .multi_scene import init_multi_scene_params, build_multi_scene_step

@@ -71,7 +71,26 @@ def _adam():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
-class NeRFScene:
+class Scene:
+    """Scene interface (reference ``modules/scene/scene.py:6-31``)."""
+
+    def render(self, rays, query_keys=("rgb",), **kw):
+        raise NotImplementedError
+
+    def fit(self, sup_pool):
+        raise NotImplementedError
+
+    def get_pano_visibility_mask(self, sup_pool, rays):
+        raise NotImplementedError
+
+    def state_dict(self) -> dict:
+        raise NotImplementedError
+
+    def load_state_dict(self, state: dict):
+        raise NotImplementedError
+
+
+class NeRFScene(Scene):
     """Owns field params + train/render configs; provides fit/render."""
 
     def __init__(self, field_cfg: NGPFieldConfig, render_cfg: RenderConfig,

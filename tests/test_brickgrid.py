@@ -12,7 +12,7 @@ from perf_tpu.kernels import (
 
 def _cfg(**kw):
     d = dict(n_levels=4, n_features=2, log2_bricks=8, base_res=4,
-             per_level_scale=2.0)
+             per_level_scale=2.0, bf16_table=False)  # exact vs numpy ref
     d.update(kw)
     return BrickGridConfig(**d)
 
@@ -71,6 +71,20 @@ def test_brick_encode_ray_strides():
     flat = brick_encode(table, jnp.stack([x, y, z], -1), cfg)
     np.testing.assert_allclose(np.asarray(out[..., -2:]),
                                np.asarray(flat[..., -2:]), atol=1e-6)
+
+
+def test_brick_bf16_close_to_f32():
+    cfg32 = _cfg()
+    cfg16 = _cfg(bf16_table=True)
+    table = init_brick_table(jax.random.PRNGKey(0), cfg32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    a = brick_encode(table, x, cfg32)
+    b = brick_encode(table, x, cfg16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    # grads accumulate in f32 and stay finite/nonzero
+    g = jax.grad(lambda t: jnp.sum(brick_encode(t, x, cfg16) ** 2))(table)
+    assert g.dtype == jnp.float32
+    assert float(jnp.abs(g).sum()) > 0
 
 
 def test_brick_field_fits_room():
