@@ -99,8 +99,11 @@ def main():
         opt_state = optax.scale_by_adam(eps=1e-8).init(tp)
         key = jax.random.PRNGKey(1)
         # warmup (compile) — one chunk
+        # NOTE: match the loop's STRONG f32 dtype — a weak-typed 0.0 warms up a
+        # different aval and the first timed dispatch silently recompiles
         tp, opt_state, key, _ = run_chunk(tp, fz, opt_state, scene.occ_grid,
-                                          arrs, key, jnp.asarray(0.0))
+                                          arrs, key,
+                                          jnp.asarray(0.0, jnp.float32))
         jax.block_until_ready(tp)
         t0 = time.perf_counter()
         done = 0

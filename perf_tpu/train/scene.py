@@ -187,15 +187,27 @@ class NeRFScene(Scene):
 
         step_fn = geo_step if phase == "geo" else app_step
 
-        @jax.jit
-        def run_chunk(train_params, frozen_params, opt_state, occ, arrs, key,
-                      step0):
-            def body(carry, i):
-                return step_fn(frozen_params, occ, arrs, carry, step0 + i)
-            (train_params, opt_state, key), losses = jax.lax.scan(
-                body, (train_params, opt_state, key),
-                jnp.arange(tc.scan_chunk, dtype=jnp.float32))
-            return train_params, opt_state, key, losses
+        if tc.scan_chunk == 1:
+            # direct jit: wrapping the heavy step in lax.scan measured ~5x
+            # slower on TPU (the scheduler serializes the remat'd backward
+            # inside the loop); per-step dispatch costs only ~25 ms
+            @jax.jit
+            def run_chunk(train_params, frozen_params, opt_state, occ, arrs,
+                          key, step0):
+                carry, losses = step_fn(frozen_params, occ, arrs,
+                                        (train_params, opt_state, key), step0)
+                train_params, opt_state, key = carry
+                return train_params, opt_state, key, losses[None]
+        else:
+            @jax.jit
+            def run_chunk(train_params, frozen_params, opt_state, occ, arrs,
+                          key, step0):
+                def body(carry, i):
+                    return step_fn(frozen_params, occ, arrs, carry, step0 + i)
+                (train_params, opt_state, key), losses = jax.lax.scan(
+                    body, (train_params, opt_state, key),
+                    jnp.arange(tc.scan_chunk, dtype=jnp.float32))
+                return train_params, opt_state, key, losses
 
         self._phase_fns[cache_key] = run_chunk
         return run_chunk
