@@ -94,9 +94,12 @@ gather_rows_lowp.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 def init_brick_table(key: jax.Array, cfg: BrickGridConfig,
                      dtype=jnp.float32) -> jnp.ndarray:
-    """[L, F, n_bricks, 128], uniform(-1e-4, 1e-4)."""
+    """[L, n_bricks, F*128]: ALL features of a brick in ONE row (feature f
+    occupies lanes [f*128, f*128+125)). One gather serves every feature —
+    halves the row count, which is what TPU gathers are bound by.
+    Uniform(-1e-4, 1e-4) init."""
     return jax.random.uniform(
-        key, (cfg.n_levels, cfg.n_features, cfg.n_bricks, ROW),
+        key, (cfg.n_levels, cfg.n_bricks, cfg.n_features * ROW),
         minval=-1e-4, maxval=1e-4, dtype=dtype)
 
 
@@ -131,14 +134,15 @@ def _axis_weight_vec(local, frac):
     return ((lanes == l) * (1.0 - w) + (lanes == l + 1) * w)
 
 
-def encode_brick_level(table_lf, level_res: int, nb: int, x, y, z,
-                       smooth: bool, bf16_table: bool = True) -> list:
-    """One level: table_lf [F, n_bricks, 128]; coords arbitrary shape [...].
-    Returns F arrays shaped like x."""
+def encode_brick_level(table_l, level_res: int, nb: int, x, y, z,
+                       smooth: bool, bf16_table: bool = True,
+                       n_features: int = 2) -> list:
+    """One level: table_l [n_bricks, F*128]; coords arbitrary shape [...].
+    Returns F arrays shaped like x. ONE row gather serves all features."""
     bx, lx, fx = _axis_split(x, level_res, smooth)
     by, ly, fy = _axis_split(y, level_res, smooth)
     bz, lz, fz = _axis_split(z, level_res, smooth)
-    rows = _brick_index(bx, by, bz, nb, table_lf.shape[1])
+    rows = _brick_index(bx, by, bz, nb, table_l.shape[0])
 
     wx = _axis_weight_vec(lx, fx)                     # [..., 5]
     wy = _axis_weight_vec(ly, fy)
@@ -147,14 +151,12 @@ def encode_brick_level(table_lf, level_res: int, nb: int, x, y, z,
     w = (wx[..., :, None, None] * wy[..., None, :, None]
          * wz[..., None, None, :]).reshape(*x.shape, BLANE ** 3)
 
-    outs = []
-    for f in range(table_lf.shape[0]):
-        if bf16_table:
-            row = gather_rows_lowp(table_lf[f], rows)  # [..., 128]
-        else:
-            row = table_lf[f][rows]
-        outs.append(jnp.sum(row[..., : BLANE ** 3] * w, axis=-1))
-    return outs
+    if bf16_table:
+        row = gather_rows_lowp(table_l, rows)          # [..., F*128]
+    else:
+        row = table_l[rows]
+    return [jnp.sum(row[..., f * ROW: f * ROW + BLANE ** 3] * w, axis=-1)
+            for f in range(n_features)]
 
 
 def brick_encode_ray(table: jnp.ndarray, x, y, z, cfg: BrickGridConfig,
@@ -171,14 +173,15 @@ def brick_encode_ray(table: jnp.ndarray, x, y, z, cfg: BrickGridConfig,
         nb = cfg.level_bricks(lvl)
         if k == 1:
             outs.extend(encode_brick_level(table[lvl], res, nb, x, y, z,
-                                           smooth, cfg.bf16_table))
+                                           smooth, cfg.bf16_table,
+                                           cfg.n_features))
             continue
         assert s % k == 0
         xs = jnp.concatenate([x[:, ::k], x[:, -1:]], axis=1)
         ys = jnp.concatenate([y[:, ::k], y[:, -1:]], axis=1)
         zs = jnp.concatenate([z[:, ::k], z[:, -1:]], axis=1)
         feats = encode_brick_level(table[lvl], res, nb, xs, ys, zs, smooth,
-                                   cfg.bf16_table)
+                                   cfg.bf16_table, cfg.n_features)
         outs.extend(_lerp_upsample(f, k, s) for f in feats)
     return jnp.stack(outs, axis=-1)
 
@@ -191,7 +194,8 @@ def brick_encode(table: jnp.ndarray, x: jnp.ndarray,
     for lvl in range(cfg.n_levels):
         outs.extend(encode_brick_level(
             table[lvl], cfg.level_res(lvl), cfg.level_bricks(lvl),
-            x[..., 0], x[..., 1], x[..., 2], smooth, cfg.bf16_table))
+            x[..., 0], x[..., 1], x[..., 2], smooth, cfg.bf16_table,
+            cfg.n_features))
     return jnp.stack(outs, axis=-1)
 
 
@@ -229,7 +233,7 @@ def brick_encode_numpy(table: np.ndarray, x: np.ndarray,
                 wt = (np.where(ox, frac[:, 0], 1 - frac[:, 0])
                       * np.where(oy, frac[:, 1], 1 - frac[:, 1])
                       * np.where(oz, frac[:, 2], 1 - frac[:, 2]))
-                vals = np.asarray(table[lvl, f], np.float64)[rows, lane]
+                vals = np.asarray(table[lvl], np.float64)[rows, f * ROW + lane]
                 acc += vals * wt
             out[:, lvl * cfg.n_features + f] = acc
     return out

@@ -43,8 +43,12 @@ def ray_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def table_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard hash-table rows [L, F, T] over 'model' (row axis is last)."""
+def table_sharding(mesh: Mesh, shape=None) -> NamedSharding:
+    """Shard table rows over 'model': hash tables are [L, F, T] (rows last,
+    dim 1 is the tiny feature count), brick tables are [L, n_bricks, F*128]
+    (rows middle)."""
+    if shape is not None and shape[1] > 16:   # brick: dim 1 = row count
+        return NamedSharding(mesh, P(None, "model", None))
     return NamedSharding(mesh, P(None, None, "model"))
 
 
@@ -53,7 +57,7 @@ def shard_params(params: dict, mesh: Mesh, shard_tables: bool = False):
     def place(path, x):
         names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         if shard_tables and "table" in names:
-            return jax.device_put(x, table_sharding(mesh))
+            return jax.device_put(x, table_sharding(mesh, x.shape))
         return jax.device_put(x, replicated(mesh))
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -146,3 +146,29 @@ def test_multi_scene_batch_training():
     # (25 steps is short; per-scene noise is expected)
     assert last.mean() < first.mean(), (first, last)
     assert (last < first).sum() >= 3, (first, last)
+
+
+def test_brick_table_model_sharding():
+    from perf_tpu.kernels import BrickGridConfig
+    field_cfg = NGPFieldConfig(grid=BrickGridConfig(
+        n_levels=4, n_features=2, log2_bricks=8, base_res=4,
+        per_level_scale=2.0))
+    render_cfg = RenderConfig(step=1e-2, max_samples=32, occ_res=32)
+    params = init_ngp_params(jax.random.PRNGKey(0), field_cfg)
+    mesh = make_mesh(n_data=4, n_model=2)
+    p = shard_params(params, mesh, shard_tables=True)
+    # brick rows (axis 1) sharded over 'model'
+    sh = p["geo"]["table"].sharding.spec
+    assert tuple(sh) == (None, "model", None), sh
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    grid = occ_grid_from_points(jnp.asarray(dirs * 0.5), res=32)
+    batch = {"rays_o": jnp.zeros((64, 3)), "rays_d": jnp.asarray(dirs),
+             "colors": jnp.full((64, 3), 0.7),
+             "distances": jnp.full((64, 1), 0.5)}
+    init_opt, step = build_dp_train_step(field_cfg, render_cfg, mesh)
+    b = jax.device_put(batch, ray_sharding(mesh))
+    _, _, m = step(p, init_opt(p), grid, b, jax.random.PRNGKey(7),
+                   jnp.asarray(0.5))
+    assert np.isfinite(float(m["depth_loss"]))
