@@ -306,7 +306,7 @@ class TextBlock(nn.Module):
         x = x + nn.Dense(c, name="attn_out")(out)
         y = nn.LayerNorm(name="ln_2")(x)
         y = nn.Dense(4 * c, name="mlp_fc")(y)
-        y = y * jax.nn.sigmoid(1.702 * y)  # OpenCLIP QuickGELU? ViT-H uses GELU
+        y = nn.gelu(y, approximate=False)  # OpenCLIP ViT-H uses exact GELU
         return x + nn.Dense(c, name="mlp_proj")(y)
 
 
@@ -389,20 +389,211 @@ def ddim_sample(unet_apply, variables, start_code, c_concat, context,
 # checkpoint conversion + backend
 # ---------------------------------------------------------------------------
 
-def convert_sd_state_dict(sd: dict) -> dict:
-    """Map 512-inpainting-ema.ckpt onto (unet, vae_enc, vae_dec, text)
-    variable trees. Returns dict(unet=..., vae_encoder=..., vae_decoder=...,
-    text=...).
+def _put(tree, path, v):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = jnp.asarray(v)
 
-    Implemented for the exact v2-inpainting architecture above; keys follow
-    ldm's module names (model.diffusion_model.*, first_stage_model.*,
-    cond_stage_model.model.*). Structural-completeness is tested; value-level
-    parity requires the real checkpoint (not distributable here).
+
+def _cw(t):  # conv OIHW -> flax HWIO
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _dw(t):  # linear [out, in] -> flax [in, out]
+    return np.transpose(np.asarray(t))
+
+
+def convert_sd_unet(sd: dict, prefix: str = "model.diffusion_model.") -> dict:
+    """ldm UNet state dict -> UNetModel variables (see the vendored layout:
+    input_blocks[0]=conv_in; per level l<3: res/attn pairs at 1+3l+b with a
+    downsample at 3(l+1); level 3 res-only at 10,11; output_blocks idx
+    (3-l)*3+b with upsamples appended; out = [GN, SiLU, conv])."""
+    p: dict = {}
+
+    def conv(tk, path):
+        _put(p, path + ("kernel",), _cw(sd[prefix + tk + ".weight"]))
+        if prefix + tk + ".bias" in sd:
+            _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def dense(tk, path):
+        _put(p, path + ("kernel",), _dw(sd[prefix + tk + ".weight"]))
+        if prefix + tk + ".bias" in sd:
+            _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def gn(tk, path):
+        _put(p, path + ("scale",), np.asarray(sd[prefix + tk + ".weight"]))
+        _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def ln(tk, path):
+        _put(p, path + ("scale",), np.asarray(sd[prefix + tk + ".weight"]))
+        _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def resblock(tk, name):
+        gn(tk + ".in_layers.0", (name, "in_norm"))
+        conv(tk + ".in_layers.2", (name, "in_conv"))
+        dense(tk + ".emb_layers.1", (name, "emb_proj"))
+        gn(tk + ".out_layers.0", (name, "out_norm"))
+        conv(tk + ".out_layers.3", (name, "out_conv"))
+        if prefix + tk + ".skip_connection.weight" in sd:
+            conv(tk + ".skip_connection", (name, "skip"))
+
+    def transformer(tk, name):
+        gn(tk + ".norm", (name, "norm"))
+        dense(tk + ".proj_in", (name, "proj_in"))
+        dense(tk + ".proj_out", (name, "proj_out"))
+        tb = tk + ".transformer_blocks.0"
+        for attn in ("attn1", "attn2"):
+            for leaf in ("to_q", "to_k", "to_v"):
+                dense(f"{tb}.{attn}.{leaf}", (name, "block0", attn, leaf))
+            dense(f"{tb}.{attn}.to_out.0", (name, "block0", attn, "to_out"))
+        for i in (1, 2, 3):
+            ln(f"{tb}.norm{i}", (name, "block0", f"norm{i}"))
+        dense(f"{tb}.ff.net.0.proj", (name, "block0", "ff_in"))
+        dense(f"{tb}.ff.net.2", (name, "block0", "ff_out"))
+
+    dense("time_embed.0", ("time_fc1",))
+    dense("time_embed.2", ("time_fc2",))
+    conv("input_blocks.0.0", ("in_conv",))
+
+    ds = 1
+    for level in range(len(CHANNEL_MULT)):
+        for b in range(NUM_RES_BLOCKS):
+            idx = 1 + level * (NUM_RES_BLOCKS + 1) + b
+            resblock(f"input_blocks.{idx}.0", f"down{level}_res{b}")
+            if ds in ATTN_DS:
+                transformer(f"input_blocks.{idx}.1", f"down{level}_attn{b}")
+        if level != len(CHANNEL_MULT) - 1:
+            conv(f"input_blocks.{(level + 1) * (NUM_RES_BLOCKS + 1)}.0.op",
+                 (f"down{level}_ds",))
+            ds *= 2
+
+    resblock("middle_block.0", "mid_res0")
+    transformer("middle_block.1", "mid_attn")
+    resblock("middle_block.2", "mid_res1")
+
+    for level in reversed(range(len(CHANNEL_MULT))):
+        for b in range(NUM_RES_BLOCKS + 1):
+            idx = (len(CHANNEL_MULT) - 1 - level) * (NUM_RES_BLOCKS + 1) + b
+            resblock(f"output_blocks.{idx}.0", f"up{level}_res{b}")
+            mod = 1
+            if ds in ATTN_DS:
+                transformer(f"output_blocks.{idx}.{mod}", f"up{level}_attn{b}")
+                mod += 1
+            if level and b == NUM_RES_BLOCKS:
+                conv(f"output_blocks.{idx}.{mod}.conv", (f"up{level}_us",))
+                ds //= 2
+
+    gn("out.0", ("out_norm",))
+    conv("out.2", ("out_conv",))
+    return {"params": p}
+
+
+def _convert_vae_half(sd: dict, prefix: str, is_encoder: bool) -> dict:
+    p: dict = {}
+
+    def conv(tk, path):
+        _put(p, path + ("kernel",), _cw(sd[prefix + tk + ".weight"]))
+        _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def gn(tk, path):
+        _put(p, path + ("scale",), np.asarray(sd[prefix + tk + ".weight"]))
+        _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    def vres(tk, name):
+        gn(tk + ".norm1", (name, "norm1"))
+        conv(tk + ".conv1", (name, "conv1"))
+        gn(tk + ".norm2", (name, "norm2"))
+        conv(tk + ".conv2", (name, "conv2"))
+        if prefix + tk + ".nin_shortcut.weight" in sd:
+            conv(tk + ".nin_shortcut", (name, "nin"))
+
+    n_levels = len((1, 2, 4, 4))
+    if is_encoder:
+        _put(p, ("conv_in", "kernel"), _cw(sd[prefix + "encoder.conv_in.weight"]))
+        _put(p, ("conv_in", "bias"), np.asarray(sd[prefix + "encoder.conv_in.bias"]))
+        for lvl in range(n_levels):
+            for b in range(NUM_RES_BLOCKS):
+                vres(f"encoder.down.{lvl}.block.{b}", f"down{lvl}_block{b}")
+            if lvl != n_levels - 1:
+                _put(p, (f"down{lvl}_ds", "kernel"),
+                     _cw(sd[prefix + f"encoder.down.{lvl}.downsample.conv.weight"]))
+                _put(p, (f"down{lvl}_ds", "bias"),
+                     np.asarray(sd[prefix + f"encoder.down.{lvl}.downsample.conv.bias"]))
+        vres("encoder.mid.block_1", "mid_block1")
+        for leaf in ("q", "k", "v", "proj_out"):
+            conv(f"encoder.mid.attn_1.{leaf}", ("mid_attn", leaf))
+        gn("encoder.mid.attn_1.norm", ("mid_attn", "norm"))
+        vres("encoder.mid.block_2", "mid_block2")
+        gn("encoder.norm_out", ("norm_out",))
+        conv("encoder.conv_out", ("conv_out",))
+        conv("quant_conv", ("quant_conv",))
+    else:
+        conv("post_quant_conv", ("post_quant_conv",))
+        conv("decoder.conv_in", ("conv_in",))
+        vres("decoder.mid.block_1", "mid_block1")
+        for leaf in ("q", "k", "v", "proj_out"):
+            conv(f"decoder.mid.attn_1.{leaf}", ("mid_attn", leaf))
+        gn("decoder.mid.attn_1.norm", ("mid_attn", "norm"))
+        vres("decoder.mid.block_2", "mid_block2")
+        for lvl in range(n_levels):
+            for b in range(NUM_RES_BLOCKS + 1):
+                vres(f"decoder.up.{lvl}.block.{b}", f"up{lvl}_block{b}")
+            if lvl:
+                _put(p, (f"up{lvl}_us", "kernel"),
+                     _cw(sd[prefix + f"decoder.up.{lvl}.upsample.conv.weight"]))
+                _put(p, (f"up{lvl}_us", "bias"),
+                     np.asarray(sd[prefix + f"decoder.up.{lvl}.upsample.conv.bias"]))
+        gn("decoder.norm_out", ("norm_out",))
+        conv("decoder.conv_out", ("conv_out",))
+    return {"params": p}
+
+
+def convert_sd_text(sd: dict, prefix: str = "cond_stage_model.model.") -> dict:
+    p: dict = {}
+
+    def ln(tk, path):
+        _put(p, path + ("scale",), np.asarray(sd[prefix + tk + ".weight"]))
+        _put(p, path + ("bias",), np.asarray(sd[prefix + tk + ".bias"]))
+
+    _put(p, ("token_embedding", "embedding"),
+         np.asarray(sd[prefix + "token_embedding.weight"]))
+    _put(p, ("positional_embedding",),
+         np.asarray(sd[prefix + "positional_embedding"]))
+    for i in range(TEXT_LAYERS - 1):  # penultimate: last block unused
+        tk = f"transformer.resblocks.{i}"
+        name = f"resblock{i}"
+        ln(tk + ".ln_1", (name, "ln_1"))
+        ln(tk + ".ln_2", (name, "ln_2"))
+        _put(p, (name, "attn_qkv", "kernel"),
+             _dw(sd[prefix + tk + ".attn.in_proj_weight"]))
+        _put(p, (name, "attn_qkv", "bias"),
+             np.asarray(sd[prefix + tk + ".attn.in_proj_bias"]))
+        _put(p, (name, "attn_out", "kernel"),
+             _dw(sd[prefix + tk + ".attn.out_proj.weight"]))
+        _put(p, (name, "attn_out", "bias"),
+             np.asarray(sd[prefix + tk + ".attn.out_proj.bias"]))
+        _put(p, (name, "mlp_fc", "kernel"), _dw(sd[prefix + tk + ".mlp.c_fc.weight"]))
+        _put(p, (name, "mlp_fc", "bias"), np.asarray(sd[prefix + tk + ".mlp.c_fc.bias"]))
+        _put(p, (name, "mlp_proj", "kernel"), _dw(sd[prefix + tk + ".mlp.c_proj.weight"]))
+        _put(p, (name, "mlp_proj", "bias"), np.asarray(sd[prefix + tk + ".mlp.c_proj.bias"]))
+    ln("ln_final", ("ln_final",))
+    return {"params": p}
+
+
+def convert_sd_state_dict(sd: dict) -> dict:
+    """Map 512-inpainting-ema.ckpt's state dict onto the four module trees.
+
+    Returns dict(unet=..., vae_encoder=..., vae_decoder=..., text=...).
+    UNet conversion is numerically parity-tested against the vendored ldm
+    implementation on random weights (tests/test_diffusion.py).
     """
-    raise NotImplementedError(
-        "SD2 checkpoint conversion lands with real-weight validation; "
-        "the architecture and sampler above are final, the key mapping is "
-        "mechanical (same style as convert_lama_state_dict/convert_dpt_state_dict)")
+    return {
+        "unet": convert_sd_unet(sd),
+        "vae_encoder": _convert_vae_half(sd, "first_stage_model.", True),
+        "vae_decoder": _convert_vae_half(sd, "first_stage_model.", False),
+        "text": convert_sd_text(sd),
+    }
 
 
 class DiffusionInpainterBackend(Inpainter):
