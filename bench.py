@@ -148,7 +148,8 @@ def main():
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,
-            "tiny": args.tiny, "field": args.field,
+            "tiny": args.tiny,
+            "field": "hash" if args.tiny else args.field,
         },
     }))
 
