@@ -231,10 +231,14 @@ def render_image(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
         d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], 0)
 
+    need_rgb = "rgb" in query_keys
+
     @jax.jit
     def _chunk(params, occ_grid, o_c, d_c, k):
+        # distance-only renders (e.g. per-anchor visibility masks) skip the
+        # appearance network entirely — half the eval encode cost
         out = render_rays(params, field_cfg, occ_grid, o_c, d_c, k, cfg,
-                          train=False)
+                          train=False, need_rgb=need_rgb)
         return {q: out[q] for q in query_keys}
 
     outs = []
