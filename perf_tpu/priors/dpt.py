@@ -146,12 +146,6 @@ class ViTBlock(nn.Module):
 # DPT decoder pieces
 # ---------------------------------------------------------------------------
 
-def _up2_align_corners(x):
-    """Bilinear x2 with align_corners=True on NHWC."""
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
-
-
 def _resize_align_corners(x, h, w):
     # jax.image.resize is half-pixel (align_corners=False); DPT uses
     # align_corners=True. Implement with explicit coordinate mapping.
@@ -219,7 +213,10 @@ class DPTHybrid(nn.Module):
         gs_old = int(np.sqrt(pos_grid.shape[0]))
         if (gh, gw) != (gs_old, gs_old):
             pg = pos_grid.reshape(1, gs_old, gs_old, VIT_FEATURES)
-            pg = jax.image.resize(pg, (1, gh, gw, VIT_FEATURES), "bilinear")
+            # antialias=False: torch F.interpolate (vit.py:111) never
+            # antialiases, jax.image.resize does by default on downscale
+            pg = jax.image.resize(pg, (1, gh, gw, VIT_FEATURES), "bilinear",
+                                  antialias=False)
             pos_grid = pg.reshape(gh * gw, VIT_FEATURES)
         tok = jnp.concatenate([jnp.tile(cls, (n, 1, 1)), tok], axis=1)
         tok = tok + jnp.concatenate([pos_tok, pos_grid[None]], axis=1)
