@@ -549,7 +549,8 @@ def _convert_vae_half(sd: dict, prefix: str, is_encoder: bool) -> dict:
     return {"params": p}
 
 
-def convert_sd_text(sd: dict, prefix: str = "cond_stage_model.model.") -> dict:
+def convert_sd_text(sd: dict, prefix: str = "cond_stage_model.model.",
+                    layers: int = TEXT_LAYERS) -> dict:
     p: dict = {}
 
     def ln(tk, path):
@@ -560,7 +561,7 @@ def convert_sd_text(sd: dict, prefix: str = "cond_stage_model.model.") -> dict:
          np.asarray(sd[prefix + "token_embedding.weight"]))
     _put(p, ("positional_embedding",),
          np.asarray(sd[prefix + "positional_embedding"]))
-    for i in range(TEXT_LAYERS - 1):  # penultimate: last block unused
+    for i in range(layers - 1):  # penultimate: last block unused
         tk = f"transformer.resblocks.{i}"
         name = f"resblock{i}"
         ln(tk + ".ln_1", (name, "ln_1"))
