@@ -31,6 +31,37 @@ class Dataset:
         self.width = 0
         self.case_name = "wp"
 
+    def get_ref_distance(self, distance_predictor):
+        """Bootstrap (or load cached) a distance map through the older
+        depth-only fusion predictor — the non-Wild path (reference
+        ``dataset.py:30-46``). ``distance_predictor`` is a
+        ``PanoFusionInvPredictor`` (dependency-injected; the reference
+        constructs it inline)."""
+        if self.ref_distance_path and os.path.exists(self.ref_distance_path):
+            return jnp.asarray(np.load(self.ref_distance_path)
+                               .astype(np.float32))
+        dist, _ = distance_predictor(
+            self.image, jnp.zeros((self.height, self.width)),
+            jnp.ones((self.height, self.width)))
+        return dist
+
+    def get_ref_normal(self, normal_predictor):
+        """Bootstrap (or load cached) a normal map (reference
+        ``dataset.py:48-64``); ``normal_predictor`` is a
+        ``PanoFusionNormalPredictor``."""
+        if self.ref_normal_path and os.path.exists(self.ref_normal_path):
+            return jnp.asarray(np.load(self.ref_normal_path)
+                               .astype(np.float32))
+        init = jnp.full((self.height, self.width, 3), 1.0 / np.sqrt(3.0))
+        return normal_predictor.inpaint_normal(
+            self.image, init, jnp.ones((self.height, self.width)))
+
+    def refine_geometry(self, distance_map, normal_map, refiner):
+        """Distill distance+normal into a sphere field and re-extract the
+        smoothed maps (reference ``dataset.py:66-68``); ``refiner`` is a
+        ``PanoGeoRefiner``."""
+        return refiner.refine(distance_map, normal_map)
+
     def get_joint_distance_normal(self, joint_predictor):
         """Bootstrap (or load cached) distance+normal maps
         (reference ``dataset.py:70-95``)."""
