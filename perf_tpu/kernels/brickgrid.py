@@ -1,23 +1,22 @@
 """Brick-packed multiresolution grid — the TPU-flagship field encoding.
 
-Motivation (measured on TPU v5e, see BASELINE.md): XLA gathers cost ~constant
-per ROW (~130M narrow rows/s) but reach memory bandwidth with >=512-byte rows
-(~250M rows/s at 128 lanes). The classic NGP layout needs 8 corners x F
-narrow rows per (sample, level) — hopeless on TPU. This layout needs ONE
-128-lane row per (sample, level, feature):
+Motivation (measured on TPU v5e, see BASELINE.md): XLA gathers cost per
+ROW-TILE — a row spanning two 128-lane tiles costs two tile fetches — so the
+encoding is shaped so ONE (sample, level) needs exactly ONE 128-lane bf16
+row (256 B):
 
-- corners are packed into OVERLAPPING 5x5x5 bricks on a stride-4 grid
-  (brick b covers corner range [4b, 4b+4] per axis, 125 corners -> 125 of
-  128 lanes; ~2x storage duplication);
+- corners are packed into OVERLAPPING 4x4x4-corner bricks on a stride-3 grid
+  (brick b covers corner range [3b, 3b+3] per axis; 4^3 corners x 2 features
+  fill the 128 lanes exactly, feature-interleaved: lane = corner*F + f);
 - any voxel's 8 interpolation corners live in ONE brick: c0 in [0, res-1],
-  b = c0 >> 2, local = c0 & 3 in [0, 3], so corners local..local+1 <= 4;
-- trilinear interpolation is a dense masked dot over the row's 128 lanes:
-  per-axis 5-vectors with two non-zeros (1-w at local, w at local+1), outer
-  product = the sparse-8 weight row — XLA fuses the gather, the outer
-  product, and the lane reduction, so nothing wider than the row transits;
-- gradients: d/table is a scatter-add of dense 128-wide weight rows (wide
-  scatters are also BW-efficient), d/position flows through the weight
-  vectors (smoothstep supported, needed by the sphere field).
+  b = c0 // 3, local = c0 mod 3 in [0, 2], so corners local..local+1 <= 3;
+- the 8 corners are selected by synthesizing a per-lane one-hot weight
+  inside the multiply-reduce (pure elementwise + reduction, fuses into the
+  gather; both a dense lane-weight tensor and per-corner take_along_axis
+  measured slower — the latter ~20x);
+- gradients: d/table scatter-adds one-hot-synthesized bf16 rows (f32
+  accumulation), d/position flows through the corner weights (exact,
+  lazily re-gathered, DCE'd when unused).
 
 Brick indexing is dense when the level's brick grid fits the table, else a
 spatial hash of BRICK coords (coarser collision granularity than per-corner
@@ -27,22 +26,23 @@ NGP hashing — an accepted redesign; quality is gated by the golden-fit test).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861)
-BRICK = 4          # voxels per brick edge (default)
-BLANE = 5          # corners per brick edge (overlap 1)
-ROW = 128          # padded row width (125 used)
+BRICK = 3          # voxels per brick edge
+BLANE = 4          # corners per brick edge (overlap 1)
+ROW = 128          # row width: 4^3 corners x 2 features, exactly one tile
 
 
 @dataclasses.dataclass(frozen=True)
 class BrickGridConfig:
     n_levels: int = 16
     n_features: int = 2
-    log2_bricks: int = 11           # rows per (level, feature): 2^11*125 ~ 2^18 corners
+    log2_bricks: int = 12           # 2^12 rows x 4^3 corners = 2^18 corners
     base_res: int = 16
     per_level_scale: float = 1.4472692012786865
     interpolation: str = "linear"
@@ -67,39 +67,13 @@ class BrickGridConfig:
         return self.level_res(level) // BRICK + 1
 
 
-@jax.custom_vjp
-def gather_rows_lowp(table: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
-    """Gather rows from a bf16 view of an f32 table, f32-accumulated grads.
-
-    Forward fetches 256-byte bf16 rows (half the bandwidth of f32); backward
-    scatter-adds into an f32 cotangent so tiny per-step updates don't vanish
-    in bf16 accumulation. The bf16 rounding of the VALUES is the same
-    precision regime as tcnn's fp16 tables.
-    """
-    return table.astype(jnp.bfloat16)[rows].astype(jnp.float32)
-
-
-def _gather_rows_fwd(table, rows):
-    return gather_rows_lowp(table, rows), (rows, table.shape)
-
-
-def _gather_rows_bwd(res, g):
-    rows, shape = res
-    gt = jnp.zeros(shape, jnp.float32).at[rows].add(g.astype(jnp.float32))
-    return gt, None
-
-
-gather_rows_lowp.defvjp(_gather_rows_fwd, _gather_rows_bwd)
-
-
 def init_brick_table(key: jax.Array, cfg: BrickGridConfig,
                      dtype=jnp.float32) -> jnp.ndarray:
-    """[L, n_bricks, F*128]: ALL features of a brick in ONE row (feature f
-    occupies lanes [f*128, f*128+125)). One gather serves every feature —
-    halves the row count, which is what TPU gathers are bound by.
-    Uniform(-1e-4, 1e-4) init."""
+    """[L, n_bricks, 64*F]: ALL features of a brick in ONE row, interleaved
+    (corner c's feature f at lane c*F + f). One single-tile gather serves
+    every corner and feature of a sample. Uniform(-1e-4, 1e-4) init."""
     return jax.random.uniform(
-        key, (cfg.n_levels, cfg.n_bricks, cfg.n_features * ROW),
+        key, (cfg.n_levels, cfg.n_bricks, cfg.n_features * BLANE ** 3),
         minval=-1e-4, maxval=1e-4, dtype=dtype)
 
 
@@ -120,43 +94,124 @@ def _axis_split(x, res: int, smooth: bool):
     if smooth:
         frac = frac * frac * (3.0 - 2.0 * frac)
     c0 = c0f.astype(jnp.int32)
-    return c0 >> 2, c0 & 3, frac
+    b = c0 // BRICK
+    return b, c0 - b * BRICK, frac
 
 
-def _axis_weight_vec(local, frac):
-    """Two-nonzero 5-vector: lane local -> 1-frac, lane local+1 -> frac.
+def _lane_axes(width: int, nf: int):
+    """Decompose lane index -> (corner-x, corner-y, corner-z, feature)."""
+    lanes = jnp.arange(width, dtype=jnp.int32)
+    ax = lanes // (16 * nf)
+    ay = (lanes // (4 * nf)) % 4
+    az = (lanes // nf) % 4
+    af = lanes % nf
+    return ax, ay, az, af
 
-    local/frac [...]; returns [..., 5].
+
+def _axis_sel(a, loc, frac):
+    """Per-lane weight for one axis: 1-frac at loc, frac at loc+1, 0 else."""
+    loc = loc[..., None]
+    frac = frac[..., None]
+    return (a == loc) * (1.0 - frac) + (a == loc + 1) * frac
+
+
+def _lane_weights(locs, fracs, width: int, nf: int):
+    """The full trilinear weight of every lane, synthesized per lane from
+    three factored axis selectors (2 compares/axis — ~3x cheaper on the VPU
+    than 8 per-corner one-hots, and no dense weight tensor ever
+    materializes; per-corner take_along_axis measured ~20x slower)."""
+    ax, ay, az, _ = _lane_axes(width, nf)
+    return (_axis_sel(ax, locs[0], fracs[0])
+            * _axis_sel(ay, locs[1], fracs[1])
+            * _axis_sel(az, locs[2], fracs[2]))
+
+
+def _interp_from_rows(row_vals, locs, fracs, nf: int) -> tuple:
+    """row_vals [..., 64*F] -> tuple of F feature arrays [...]."""
+    width = row_vals.shape[-1]
+    w_lane = _lane_weights(locs, fracs, width, nf)
+    vals = row_vals.astype(jnp.float32) * w_lane
+    if nf == 1:
+        return (jnp.sum(vals, axis=-1),)
+    af = _lane_axes(width, nf)[3]
+    return tuple(jnp.sum(vals * (af == f), axis=-1) for f in range(nf))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def corner_interp_lowp(nf: int, table_l, rows, locs, fracs):
+    """Row gather + trilinear interpolation, bandwidth-shaped vjp.
+
+    table_l [R, 64*F] f32 master (forward reads a bf16 view — the same
+    precision regime as tcnn's fp16 tables); rows int32 [...]; locs: tuple
+    of 3 int32 [...] in [0, 2] (in-brick corner coords); fracs: tuple of 3
+    f32 [...] interpolation fractions. Returns F arrays [...].
+
+    Backward:
+    - d/table: cotangent rows are synthesized from the factored lane
+      weights in bf16 — individual contributions round to bf16 but the
+      ACCUMULATION stays f32 (the scatter-add upcasts into the f32 zeros
+      buffer), matching tcnn's low-precision-grads / f32-accumulation
+      scheme — then ONE single-tile row scatter-add. It needs NO forward
+      values, so with the enc_feats remat policy the backward never
+      re-gathers.
+    - d/fracs (the position-gradient path): exact, from values re-gathered
+      on demand; jaxpr DCE deletes the re-gather when positions don't
+      require gradients, which is the NGP train path.
     """
-    lanes = jnp.arange(BLANE, dtype=jnp.int32)
-    l = local[..., None]
-    w = frac[..., None]
-    return ((lanes == l) * (1.0 - w) + (lanes == l + 1) * w)
+    vals = table_l.astype(jnp.bfloat16)[rows]
+    return _interp_from_rows(vals, locs, fracs, nf)
+
+
+def _ci_fwd(nf, table_l, rows, locs, fracs):
+    return (corner_interp_lowp(nf, table_l, rows, locs, fracs),
+            (table_l, rows, locs, fracs))
+
+
+def _ci_bwd(nf, res, g):
+    table_l, rows, locs, fracs = res
+    width = table_l.shape[-1]
+    ax, ay, az, af = _lane_axes(width, nf)
+    w_lane = _lane_weights(locs, fracs, width, nf)
+    gsel = g[0][..., None] if nf == 1 else sum(
+        (af == f) * g[f][..., None] for f in range(nf))
+    gt = jnp.zeros(table_l.shape, jnp.float32).at[rows].add(
+        (w_lane * gsel).astype(jnp.bfloat16).astype(jnp.float32))
+
+    # exact position grads via on-demand re-gather (DCE'd when unused)
+    vals = table_l.astype(jnp.bfloat16)[rows].astype(jnp.float32)
+    wx = _axis_sel(ax, locs[0], fracs[0])
+    wy = _axis_sel(ay, locs[1], fracs[1])
+    wz = _axis_sel(az, locs[2], fracs[2])
+
+    def dsel(a, loc):
+        loc = loc[..., None]
+        return (a == loc + 1).astype(jnp.float32) - (a == loc)
+
+    core = vals * gsel
+    gfx = jnp.sum(core * dsel(ax, locs[0]) * wy * wz, axis=-1)
+    gfy = jnp.sum(core * wx * dsel(ay, locs[1]) * wz, axis=-1)
+    gfz = jnp.sum(core * wx * wy * dsel(az, locs[2]), axis=-1)
+    return gt, None, (None, None, None), (gfx, gfy, gfz)
+
+
+corner_interp_lowp.defvjp(_ci_fwd, _ci_bwd)
 
 
 def encode_brick_level(table_l, level_res: int, nb: int, x, y, z,
                        smooth: bool, bf16_table: bool = True,
                        n_features: int = 2) -> list:
-    """One level: table_l [n_bricks, F*128]; coords arbitrary shape [...].
-    Returns F arrays shaped like x. ONE row gather serves all features."""
+    """One level: table_l [n_bricks, 64*F]; coords arbitrary shape [...].
+    Returns F arrays shaped like x. ONE single-tile row gather serves all
+    corners and features."""
     bx, lx, fx = _axis_split(x, level_res, smooth)
     by, ly, fy = _axis_split(y, level_res, smooth)
     bz, lz, fz = _axis_split(z, level_res, smooth)
     rows = _brick_index(bx, by, bz, nb, table_l.shape[0])
-
-    wx = _axis_weight_vec(lx, fx)                     # [..., 5]
-    wy = _axis_weight_vec(ly, fy)
-    wz = _axis_weight_vec(lz, fz)
-    # dense lane weights [..., 125] -> padded to 128 by the mul below
-    w = (wx[..., :, None, None] * wy[..., None, :, None]
-         * wz[..., None, None, :]).reshape(*x.shape, BLANE ** 3)
-
+    locs, fracs = (lx, ly, lz), (fx, fy, fz)
     if bf16_table:
-        row = gather_rows_lowp(table_l, rows)          # [..., F*128]
-    else:
-        row = table_l[rows]
-    return [jnp.sum(row[..., f * ROW: f * ROW + BLANE ** 3] * w, axis=-1)
-            for f in range(n_features)]
+        return list(corner_interp_lowp(n_features, table_l, rows, locs,
+                                       fracs))
+    return list(_interp_from_rows(table_l[rows], locs, fracs, n_features))
 
 
 def brick_encode_ray(table: jnp.ndarray, x, y, z, cfg: BrickGridConfig,
@@ -214,8 +269,8 @@ def brick_encode_numpy(table: np.ndarray, x: np.ndarray,
         frac = pos - c0
         if smooth:
             frac = frac * frac * (3 - 2 * frac)
-        b = c0 >> 2
-        loc = c0 & 3
+        b = c0 // BRICK
+        loc = c0 - b * BRICK
         if nb ** 3 <= cfg.n_bricks:
             rows = b[:, 0] * nb * nb + b[:, 1] * nb + b[:, 2]
         else:
@@ -224,16 +279,17 @@ def brick_encode_numpy(table: np.ndarray, x: np.ndarray,
                  ^ bu[:, 1] * np.uint32(_PRIMES[1])
                  ^ bu[:, 2] * np.uint32(_PRIMES[2]))
             rows = (h & np.uint32(cfg.n_bricks - 1)).astype(np.int64)
-        for f in range(cfg.n_features):
+        nf = cfg.n_features
+        for f in range(nf):
             acc = np.zeros(n)
             for bit in range(8):
                 ox, oy, oz = bit >> 2 & 1, bit >> 1 & 1, bit & 1
-                lane = ((loc[:, 0] + ox) * 25 + (loc[:, 1] + oy) * 5
-                        + (loc[:, 2] + oz))
+                lane = (((loc[:, 0] + ox) * 16 + (loc[:, 1] + oy) * 4
+                         + (loc[:, 2] + oz)) * nf + f)
                 wt = (np.where(ox, frac[:, 0], 1 - frac[:, 0])
                       * np.where(oy, frac[:, 1], 1 - frac[:, 1])
                       * np.where(oz, frac[:, 2], 1 - frac[:, 2]))
-                vals = np.asarray(table[lvl], np.float64)[rows, f * ROW + lane]
+                vals = np.asarray(table[lvl], np.float64)[rows, lane]
                 acc += vals * wt
             out[:, lvl * cfg.n_features + f] = acc
     return out

@@ -32,6 +32,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields.ngp import (
     NGPFieldConfig, query_density_coords, query_rgb_coords,
@@ -55,6 +56,12 @@ class RenderConfig:
     # kernels.hashgrid.level_strides):
     march_coarse: int = 8       # occupancy probed once per this many steps
     level_subsampling: bool = True
+    # hierarchical march: probe a dilated 4x-downsampled grid first (TPU
+    # narrow gathers are per-ROW bound, so probe count is the march cost;
+    # two-level probing cuts it ~2.5x). Conservative: the coarse grid is
+    # max-pooled AND 3^3-dilated, so it can only ADMIT extra windows.
+    hier_march: bool = True
+    segment_windows: int = 4    # windows per coarse segment
 
     @property
     def n_march(self) -> int:
@@ -71,10 +78,44 @@ class RenderConfig:
         assert self.max_samples % self.march_coarse == 0
         return self.max_samples // self.march_coarse
 
+    @property
+    def n_segments(self) -> int:
+        w = self.n_windows
+        s = self.segment_windows
+        return (w + s - 1) // s
+
+    @property
+    def max_segments(self) -> int:
+        # enough selected segments to fill the window budget, +2 slack for
+        # segments that are only partially occupied at shell edges
+        return min(self.n_segments, self.max_windows // self.segment_windows + 2)
+
+
+def coarse_occ_grid(occ_grid: jnp.ndarray, res: int) -> jnp.ndarray:
+    """4x-downsampled, 3^3-dilated occupancy: flat [ (res/4)^3 ] uint8.
+
+    Max-pool makes the coarse grid an over-approximation of the fine one;
+    the extra 1-cell dilation guarantees a single center probe per march
+    segment cannot miss occupancy anywhere in the segment (segment length
+    0.016 world << dilated reach 0.031)."""
+    g = occ_grid.reshape(res, res, res)
+    coarse = jax.lax.reduce_window(g, np.uint8(0), jax.lax.max,
+                                   (4, 4, 4), (4, 4, 4), "VALID")
+    dilated = jax.lax.reduce_window(coarse, np.uint8(0), jax.lax.max,
+                                    (3, 3, 3), (1, 1, 1), "SAME")
+    return dilated.reshape(-1)
+
 
 def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                key: jax.Array, cfg: RenderConfig, stratified: bool):
     """Occupancy-culled fixed-step marching with top-k compaction.
+
+    TPU shape of nerfacc's DDA marcher (``nerf_renderer.py:145-155``): narrow
+    gathers cost per ROW, so the march cost IS the probe count. The
+    hierarchical path probes a dilated 4x-coarse grid once per
+    ``segment_windows``-window segment, selects the first ``max_segments``
+    occupied segments, and probes the fine grid only inside those — ~2.5x
+    fewer probe rows than the flat ladder at the reference geometry.
 
     Returns (t_mid [N, max_samples] ascending, valid [N, max_samples] f32).
     """
@@ -86,29 +127,50 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     else:
         jitter = jnp.zeros((n, 1))
 
-    # Coarse probe: occupancy once per c-step window, at the window center.
-    # The occupancy shell is >= 3 voxels thick (~45 fine steps at the
-    # reference grid), far thicker than a window, so center probing cannot
-    # skip it; windows are conservative (they admit a few extra samples at
-    # shell edges, masked only by far-plane).
-    wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
-    t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
+    def probe(t, grid, r):
+        """Occupancy at ray points: t [N, P] -> int32 [N, P]."""
+        def axis_voxel(a):
+            w = rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * t
+            return ((jnp.clip(w, -0.999, 0.999) * 0.5 + 0.5) * r).astype(
+                jnp.int32)
+        flat = (axis_voxel(0) * (r * r) + axis_voxel(1) * r + axis_voxel(2))
+        return grid[flat].astype(jnp.int32)
 
-    def axis_voxel(a, t):
-        w = rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * t
-        return ((jnp.clip(w, -0.999, 0.999) * 0.5 + 0.5) * res).astype(jnp.int32)
+    if cfg.hier_march and res % 4 == 0:
+        sw = cfg.segment_windows
+        nseg = cfg.n_segments
+        coarse = coarse_occ_grid(occ_grid, res)
+        segs = jnp.arange(nseg, dtype=jnp.float32)
+        t_seg = cfg.near + ((segs[None, :] * sw + 0.5 * sw) * c
+                            + jitter) * cfg.step
+        seg_occ = probe(t_seg, coarse, res // 4) * (t_seg < cfg.far)
+        skeys = seg_occ * (nseg - jnp.arange(nseg, dtype=jnp.int32))[None, :]
+        svals, sidx = jax.lax.top_k(skeys, cfg.max_segments)   # t-ordered
+        svalid = (svals > 0)
+        # fine probes only inside the chosen segments
+        j = jnp.arange(sw, dtype=jnp.int32)
+        widx_cand = (sidx[:, :, None] * sw + j[None, None, :]).reshape(n, -1)
+        t_w = cfg.near + (widx_cand.astype(jnp.float32) * c + 0.5 * c
+                          + jitter) * cfg.step
+        occ_w = probe(t_w, occ_grid, res) * (t_w < cfg.far)
+        occ_w = occ_w * jnp.broadcast_to(
+            svalid[:, :, None].astype(jnp.int32),
+            (n, cfg.max_segments, sw)).reshape(n, -1)
+        # first max_windows occupied windows in t order (widx_cand ascends
+        # along the candidate axis, so monotone keys preserve t order)
+        keys = occ_w * (cfg.n_windows - widx_cand)
+        vals, pos = jax.lax.top_k(keys, cfg.max_windows)
+        wvalid = (vals > 0).astype(jnp.float32)
+        widx = jnp.take_along_axis(widx_cand, pos, axis=1)
+    else:
+        wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
+        t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
+        occ = probe(t_probe, occ_grid, res) * (t_probe < cfg.far)
+        keys = occ * (cfg.n_windows
+                      - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
+        vals, widx = jax.lax.top_k(keys, cfg.max_windows)      # [N, W]
+        wvalid = (vals > 0).astype(jnp.float32)
 
-    flat = (axis_voxel(0, t_probe) * (res * res) + axis_voxel(1, t_probe) * res
-            + axis_voxel(2, t_probe))
-    occ = occ_grid[flat].astype(jnp.int32)
-    occ = occ * (t_probe < cfg.far)
-
-    # First `max_windows` occupied windows, in t order (monotone keys), each
-    # expanded to its c consecutive fine steps.
-    keys = occ * (cfg.n_windows
-                  - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
-    vals, widx = jax.lax.top_k(keys, cfg.max_windows)          # [N, W]
-    wvalid = (vals > 0).astype(jnp.float32)
     fine = jnp.arange(c, dtype=jnp.float32)
     t_mid = (cfg.near
              + ((widx.astype(jnp.float32) * c)[:, :, None] + fine[None, None, :]

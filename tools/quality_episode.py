@@ -1,0 +1,101 @@
+"""Flagship-scale quality record: one full raw-fit episode on the synthetic
+cube room at reference scale (2048x1024 supervision, 3000 geo + 1500 app
+steps, full brick field), then PSNR + depth-MAE of a 1024x512 render at the
+input pose vs ground truth.
+
+This is BASELINE.md north-star metric 3's proxy (the reference example panos
+are stripped blobs in this snapshot): a number the next round can regress
+against. Run on the TPU:
+
+    python tools/quality_episode.py [--samples 128] [--geo 3000] [--app 1500]
+
+Prints one JSON line {"psnr": ..., "depth_mae": ..., ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=256)
+    ap.add_argument("--geo", type=int, default=3000)
+    ap.add_argument("--app", type=int, default=1500)
+    ap.add_argument("--render-hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunk smoke configuration")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from perf_tpu.core import gen_pano_rays
+    from perf_tpu.fields import NGPFieldConfig
+    from perf_tpu.kernels import BrickGridConfig, HashGridConfig
+    from perf_tpu.render import RenderConfig
+    from perf_tpu.train import SupInfoPool, NeRFScene, TrainConfig
+    from perf_tpu.utils import render_cube_room_pano
+
+    if args.tiny:
+        h, w = 128, 256
+        field_cfg = NGPFieldConfig(grid=HashGridConfig(
+            n_levels=8, n_features=2, log2_table_size=14, base_res=4,
+            per_level_scale=1.9))
+        render_cfg = RenderConfig(step=4e-3, max_samples=128, occ_res=64)
+        batch = 1024
+        args.geo, args.app = min(args.geo, 300), min(args.app, 150)
+        args.render_hw = (64, 128)
+    else:
+        h, w = 1024, 2048
+        field_cfg = NGPFieldConfig(grid=BrickGridConfig())
+        render_cfg = RenderConfig(max_samples=args.samples,
+                                  eval_chunk=16384)
+        batch = 8192
+
+    t0 = time.perf_counter()
+    pano = render_cube_room_pano(jnp.eye(4), h, w)
+    pool = SupInfoPool()
+    pool.register_sup_info(np.eye(4, dtype=np.float32), np.ones((h, w)),
+                           pano["rgb"], pano["distance"], pano["normal"])
+    train_cfg = TrainConfig(
+        pixel_loss_batch_size=batch,
+        raw_phase_iter_geo=args.geo, raw_phase_iter_app=args.app,
+        scan_chunk=1 if not args.tiny else 5)
+    scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
+    scene.fit(pool)
+    fit_s = time.perf_counter() - t0
+
+    rh, rw = args.render_hw
+    rays = gen_pano_rays(jnp.eye(4), rh, rw)
+    out = scene.render(rays, ("rgb", "distance"), key=jax.random.PRNGKey(7))
+    gt = render_cube_room_pano(jnp.eye(4), rh, rw)
+    rgb = np.asarray(out["rgb"], np.float64)
+    gt_rgb = np.asarray(gt["rgb"], np.float64)
+    mse = float(np.mean((rgb - gt_rgb) ** 2))
+    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    dist = np.asarray(out["distance"], np.float64)[..., 0]
+    gt_d = np.asarray(gt["distance"], np.float64)
+    depth_mae = float(np.mean(np.abs(dist - gt_d)))
+
+    print(json.dumps({
+        "psnr": round(psnr, 3),
+        "depth_mae": round(depth_mae, 5),
+        "fit_sec": round(fit_s, 1),
+        "samples": render_cfg.max_samples,
+        "sup_hw": [h, w], "render_hw": [rh, rw],
+        "geo_iters": args.geo, "app_iters": args.app,
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
