@@ -88,6 +88,8 @@ def main():
     scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
     scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
     arrs = pool.device_arrays()
+    # adaptive sample budget, exactly as scene.fit() would pick it
+    scene.sample_budget = scene.select_sample_budget(arrs)
     capacity = int(arrs["rays_o"].shape[0])
     setup_s = time.perf_counter() - t0
 
@@ -149,6 +151,7 @@ def main():
             "render_fps_1024x512": round(fps, 3),
             "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
             "batch": batch, "max_samples": render_cfg.max_samples,
+            "sample_budget": scene.sample_budget,
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,

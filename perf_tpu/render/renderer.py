@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,16 @@ class RenderConfig:
     # max-pooled AND 3^3-dilated, so it can only ADMIT extra windows.
     hier_march: bool = True
     segment_windows: int = 4    # windows per coarse segment
+    # eval-only: composite color from the top-K weight WINDOWS instead of
+    # every sample (0 = off). Weights come from the full density pass, so
+    # this only drops rgb evaluation where the ray is transparent; window
+    # granularity keeps the samples ray-structured for per-level Nyquist
+    # subsampling. Typical rays concentrate >99% of their weight in 1-2
+    # windows around the surface crossing.
+    eval_rgb_windows: int = 4
+    # eval-only: per-chunk sample budget picked from a full-ladder
+    # occupancy probe of the actual frame rays (see render_image)
+    adaptive_eval: bool = True
 
     @property
     def n_march(self) -> int:
@@ -106,6 +117,41 @@ def coarse_occ_grid(occ_grid: jnp.ndarray, res: int) -> jnp.ndarray:
     return dilated.reshape(-1)
 
 
+def _probe_points(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                  rays_d: jnp.ndarray, t: jnp.ndarray, res: int):
+    """Occupancy at ray points: t [N, P] -> int32 [N, P] (one narrow gather;
+    narrow gathers cost per ROW, so probe count is the march cost)."""
+    def axis_voxel(a):
+        w = rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * t
+        return ((jnp.clip(w, -0.999, 0.999) * 0.5 + 0.5) * res).astype(
+            jnp.int32)
+    flat = (axis_voxel(0) * (res * res) + axis_voxel(1) * res + axis_voxel(2))
+    return occ_grid[flat].astype(jnp.int32)
+
+
+def count_occupied_windows(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                           rays_d: jnp.ndarray, cfg: RenderConfig):
+    """Per-ray count of occupied march windows over the FULL flat ladder.
+
+    Upper bound of the windows ``march_rays`` can select (the hierarchical
+    path only ever drops windows relative to the flat ladder), probed at
+    both jitter extremes so a stratified shift cannot exceed it by more
+    than the +1 slack the budget selector adds. Drives the adaptive
+    per-episode sample budget (``NeRFScene.select_sample_budget``): on
+    pool-derived occupancy shells most rays occupy a small fraction of the
+    ``max_samples`` cap, and encode cost is proportional to sample rows.
+    """
+    c = cfg.march_coarse
+    wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
+    counts = jnp.zeros((rays_o.shape[0],), jnp.int32)
+    for jit_off in (0.0, 0.999):
+        t = cfg.near + (wsteps[None, :] * c + 0.5 * c + jit_off) * cfg.step
+        occ = _probe_points(occ_grid, rays_o, rays_d, t, cfg.occ_res)
+        occ = occ * (t < cfg.far)
+        counts = jnp.maximum(counts, jnp.sum(occ, axis=1))
+    return counts
+
+
 def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                key: jax.Array, cfg: RenderConfig, stratified: bool):
     """Occupancy-culled fixed-step marching with top-k compaction.
@@ -128,13 +174,7 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         jitter = jnp.zeros((n, 1))
 
     def probe(t, grid, r):
-        """Occupancy at ray points: t [N, P] -> int32 [N, P]."""
-        def axis_voxel(a):
-            w = rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * t
-            return ((jnp.clip(w, -0.999, 0.999) * 0.5 + 0.5) * r).astype(
-                jnp.int32)
-        flat = (axis_voxel(0) * (r * r) + axis_voxel(1) * r + axis_voxel(2))
-        return grid[flat].astype(jnp.int32)
+        return _probe_points(grid, rays_o, rays_d, t, r)
 
     if cfg.hier_march and res % 4 == 0:
         sw = cfg.segment_windows
@@ -240,10 +280,34 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
 
     n = rays_o.shape[0]
     if need_rgb:
-        r, g, b = rgb_fn(px, py, pz)                            # each [N, S]
+        kw = cfg.eval_rgb_windows
+        c = cfg.march_coarse
+        s = t_mid.shape[1]
+        if (not train) and kw and kw * c < s:
+            # eval fast path: color only the top-kw weight windows (window
+            # sums keep the picked samples ray-structured, so per-level
+            # Nyquist subsampling still applies at the shrunk length)
+            wwin = jnp.sum(weights.reshape(n, -1, c), axis=-1)  # [N, W]
+            _, widx = jax.lax.top_k(wwin, kw)
+            widx = jnp.sort(widx, axis=1)                       # t order
+            sidx = (widx[:, :, None] * c
+                    + jnp.arange(c, dtype=widx.dtype)[None, None, :]
+                    ).reshape(n, kw * c)
+            take = lambda a: jnp.take_along_axis(a, sidx, axis=1)
+            pxk, pyk, pzk = take(px), take(py), take(pz)
+            if cfg.level_subsampling:
+                strides_k = level_strides(field_cfg.grid, cfg.step, kw * c)
+                r, g, b = query_rgb_ray(params["app"], pxk, pyk, pzk,
+                                        field_cfg, strides_k)
+            else:
+                r, g, b = query_rgb_coords(params["app"], pxk, pyk, pzk,
+                                           field_cfg)
+            w_detached = jax.lax.stop_gradient(take(weights))
+        else:
+            r, g, b = rgb_fn(px, py, pz)                        # each [N, S]
+            w_detached = jax.lax.stop_gradient(weights)
         if stop_app_grad:
             r, g, b = map(jax.lax.stop_gradient, (r, g, b))
-        w_detached = jax.lax.stop_gradient(weights)
         colors = jnp.stack([jnp.sum(w_detached * r, axis=-1),
                             jnp.sum(w_detached * g, axis=-1),
                             jnp.sum(w_detached * b, axis=-1)], axis=-1)
@@ -276,6 +340,31 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
     }
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame_window_counts(occ_grid, o_img, d_img, cfg):
+    """Dilated occupied-window bound for every pixel of an [H, W] ray grid,
+    probed at 1/16 of the rays (see render_image)."""
+    os = o_img[::4, ::4].reshape(-1, 3)
+    ds = d_img[::4, ::4].reshape(-1, 3)
+    sub = count_occupied_windows(occ_grid, os, ds, cfg)
+    h4, w4 = o_img.shape[0] // 4, o_img.shape[1] // 4
+    dil = jax.lax.reduce_window(sub.reshape(h4, w4), jnp.int32(0),
+                                jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.repeat(jnp.repeat(dil, 4, axis=0), 4, axis=1)
+
+
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys"))
+def _render_chunk(params, occ_grid, o_c, d_c, k, field_cfg, cfg, query_keys):
+    """One eval-render dispatch. TOP-LEVEL jit: the jit cache is keyed on
+    the function object, so a closure defined per frame would recompile
+    every frame (measured: the entire round-1 render deficit). Distance-only
+    renders (e.g. per-anchor visibility masks) skip the appearance network
+    entirely — half the eval encode cost."""
+    out = render_rays(params, field_cfg, occ_grid, o_c, d_c, k, cfg,
+                      train=False, need_rgb="rgb" in query_keys)
+    return {q: out[q] for q in query_keys}
+
+
 def render_image(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
                  rays, key: jax.Array, cfg: RenderConfig,
                  query_keys=("rgb", "distance"), chunk: int = 32768) -> dict:
@@ -293,21 +382,47 @@ def render_image(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
         d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], 0)
 
-    need_rgb = "rgb" in query_keys
+    budgets = None
+    if cfg.adaptive_eval:
+        # occupancy probe of the frame picks a per-chunk sample budget
+        # (quantized to powers of two -> at most 4 compiled chunk programs).
+        # Encode cost is proportional to sample rows, and e.g. sky/ceiling
+        # chunks need a fraction of the worst-case budget. Narrow probes run
+        # at only ~25M rows/s on TPU, so for image grids we probe every 4th
+        # pixel and take a dilated 3x3 max (a silhouette spike confined to a
+        # single unprobed pixel is the only miss mode; +2 windows of slack
+        # and pow2 rounding cover it).
+        if (len(pre_shape) == 2 and pre_shape[0] % 4 == 0
+                and pre_shape[1] % 4 == 0):
+            counts = _frame_window_counts(occ_grid, rays.o, rays.d, cfg)
+            counts = counts.reshape(-1)
+            if n_pad:
+                counts = jnp.concatenate(
+                    [counts, jnp.zeros((n_pad,), counts.dtype)])
+            slack = 2
+        else:
+            counts = jax.jit(count_occupied_windows, static_argnums=3)(
+                occ_grid, o, d, cfg)
+            slack = 1
+        per_chunk = np.asarray(jnp.max(counts.reshape(-1, chunk), axis=1))
+        c = cfg.march_coarse
+        budgets = []
+        for w_need in per_chunk:
+            s_need = (int(w_need) + slack) * c
+            b = max(4 * c, 1 << (s_need - 1).bit_length())
+            budgets.append(min(cfg.max_samples, b))
 
-    @jax.jit
-    def _chunk(params, occ_grid, o_c, d_c, k):
-        # distance-only renders (e.g. per-anchor visibility masks) skip the
-        # appearance network entirely — half the eval encode cost
-        out = render_rays(params, field_cfg, occ_grid, o_c, d_c, k, cfg,
-                          train=False, need_rgb=need_rgb)
-        return {q: out[q] for q in query_keys}
+    def _chunk(params, occ_grid, o_c, d_c, k, cfg_c):
+        return _render_chunk(params, occ_grid, o_c, d_c, k, field_cfg, cfg_c,
+                             tuple(query_keys))
 
     outs = []
-    for start in range(0, n + n_pad, chunk):
+    for ci, start in enumerate(range(0, n + n_pad, chunk)):
         key, k = jax.random.split(key)
+        cfg_c = cfg if budgets is None else dataclasses.replace(
+            cfg, max_samples=budgets[ci])
         outs.append(_chunk(params, occ_grid, o[start:start + chunk],
-                           d[start:start + chunk], k))
+                           d[start:start + chunk], k, cfg_c))
     ret = {}
     for q in query_keys:
         cat = jnp.concatenate([c[q] for c in outs], axis=0)[:n]

@@ -44,6 +44,7 @@ from ..core import (
 )
 from ..fields import NGPFieldConfig, init_ngp_params, reset_geo
 from ..render import RenderConfig, render_rays, render_image
+from ..render.renderer import count_occupied_windows
 from ..kernels.distortion import distortion_loss
 from .schedule import OptimConfig, lr_at, smooth_l1
 from .sup_pool import SupInfoPool
@@ -106,6 +107,10 @@ class NeRFScene(Scene):
         self.occ_grid = jnp.zeros((render_cfg.occ_res ** 3,), jnp.uint8)
         self.global_iter_geo = 0
         self.global_iter_app = 0
+        # adaptive per-episode sample budget (None -> cfg.max_samples cap):
+        # encode cost is proportional to sample ROWS, and on pool-derived
+        # occupancy shells most rays occupy a small fraction of the cap
+        self.sample_budget: int | None = None
         self._phase_fns = {}
 
     # -- helpers -------------------------------------------------------------
@@ -122,16 +127,38 @@ class NeRFScene(Scene):
         return (arrs["rays_o"][idx], arrs["rays_d"][idx], arrs["colors"][idx],
                 arrs["distances"][idx])
 
+    def select_sample_budget(self, arrs, probe_rays: int = 16384) -> int:
+        """Smallest safe ``max_samples`` for the current occupancy grid.
+
+        Marches a probe batch of pool rays over the FULL flat ladder, takes
+        the worst-case occupied-window count, adds one window of slack, and
+        rounds up to a power of two (so the per-level Nyquist strides still
+        divide the sample count), clamped to [4*march_coarse, cfg cap].
+        The cap is the reference's fixed budget, so this is never worse;
+        with the pool-derived shell grid it is typically 2-4x smaller,
+        which cuts encode rows (the dominant train cost) by the same factor.
+        """
+        rc = self.render_cfg
+        n = min(probe_rays, int(arrs["rays_o"].shape[0]))
+        o, d = arrs["rays_o"][:n], arrs["rays_d"][:n]
+        counts = jax.jit(count_occupied_windows, static_argnums=3)(
+            self.occ_grid, o, d, rc)
+        worst = int(jnp.max(counts)) + 1
+        samples = worst * rc.march_coarse
+        budget = max(4 * rc.march_coarse, 1 << (samples - 1).bit_length())
+        return min(rc.max_samples, budget)
+
     # -- jitted phase runners --------------------------------------------------
 
     def _get_phase_fn(self, phase: str, capacity: int):
-        cache_key = (phase, capacity)
+        budget = self.sample_budget or self.render_cfg.max_samples
+        cache_key = (phase, capacity, budget)
         if cache_key in self._phase_fns:
             return self._phase_fns[cache_key]
 
         tc = self.train_cfg
         fc = self.field_cfg
-        rc = self.render_cfg
+        rc = dataclasses.replace(self.render_cfg, max_samples=budget)
         adam = _adam()
 
         def geo_step(app_params, occ, arrs, carry, i):
@@ -258,6 +285,7 @@ class NeRFScene(Scene):
         self.occ_grid = sup_pool.gen_occ_grid(self.render_cfg.occ_res)
         self.params = reset_geo(self.params, self._next_key(), self.field_cfg)
         arrs = sup_pool.device_arrays()
+        self.sample_budget = self.select_sample_budget(arrs)
         capacity = int(arrs["rays_o"].shape[0])
         n_rays = tc.pixel_loss_batch_size
         with phase_timer(self.writer, "fit_geo", self.global_iter_geo,
@@ -272,11 +300,28 @@ class NeRFScene(Scene):
         return {"geo_losses": geo_losses, "app_losses": app_losses}
 
     def render(self, rays: Rays, query_keys=("rgb",), key=None, chunk=None):
-        """Chunked eval render (``nerf.py:74-99``)."""
+        """Chunked eval render (``nerf.py:74-99``).
+
+        Eval rays come from arbitrary poses (circle/travel cameras), so the
+        train budget gets a 2x slack for grazing rays the pool probe never
+        saw; the chunk grows by the same factor (rays x samples stays at
+        the cap's memory footprint), so frames need fewer dispatches too.
+        """
+        rc = self.render_cfg
+        if self.sample_budget and 2 * self.sample_budget < rc.max_samples:
+            scale = rc.max_samples // (2 * self.sample_budget)
+            if rc.adaptive_eval:
+                # per-chunk budgets handle the cap; just grow the chunk so
+                # rays x samples stays at the cap's memory footprint
+                rc = dataclasses.replace(rc, eval_chunk=rc.eval_chunk * scale)
+            else:
+                rc = dataclasses.replace(rc,
+                                         max_samples=2 * self.sample_budget,
+                                         eval_chunk=rc.eval_chunk * scale)
         return render_image(self.params, self.field_cfg, self.occ_grid, rays,
                             key if key is not None else self._next_key(),
-                            self.render_cfg, query_keys=query_keys,
-                            chunk=chunk or self.render_cfg.eval_chunk)
+                            rc, query_keys=query_keys,
+                            chunk=chunk or rc.eval_chunk)
 
     def get_pano_visibility_mask(self, sup_pool: SupInfoPool,
                                  rays: Rays) -> jnp.ndarray:
@@ -306,6 +351,7 @@ class NeRFScene(Scene):
             "occ_grid": np.asarray(self.occ_grid),
             "global_iter_geo": self.global_iter_geo,
             "global_iter_app": self.global_iter_app,
+            "sample_budget": self.sample_budget or 0,
         }
 
     def load_state_dict(self, state: dict):
@@ -313,3 +359,4 @@ class NeRFScene(Scene):
         self.occ_grid = jnp.asarray(state["occ_grid"])
         self.global_iter_geo = int(state["global_iter_geo"])
         self.global_iter_app = int(state["global_iter_app"])
+        self.sample_budget = int(state.get("sample_budget", 0)) or None

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--samples", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--auto-budget", action="store_true",
+                    help="use the scene's adaptive sample budget "
+                         "(--samples becomes the cap)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -70,6 +73,12 @@ def main():
     tc = TrainConfig(pixel_loss_batch_size=args.rays, scan_chunk=1)
     scene = NeRFScene(field_cfg, render_cfg, tc, jax.random.PRNGKey(0))
     scene.occ_grid = occ
+    if args.auto_budget:
+        scene.sample_budget = scene.select_sample_budget(arrs)
+        args.samples = scene.sample_budget
+        import dataclasses
+        render_cfg = dataclasses.replace(render_cfg,
+                                         max_samples=scene.sample_budget)
     key = jax.random.PRNGKey(1)
 
     # a fixed sampled batch
