@@ -73,6 +73,12 @@ class RenderConfig:
     # eval-only: per-chunk sample budget picked from a full-ladder
     # occupancy probe of the actual frame rays (see render_image)
     adaptive_eval: bool = True
+    # sample every Nth march step inside selected windows (quadrature
+    # delta becomes step*sample_stride). 1 on the train path; the baked
+    # snapshot renderer uses the bake grid's Nyquist step (~4) — the march
+    # LADDER (probes, windows) is unchanged, only in-window sampling
+    # density drops.
+    sample_stride: int = 1
 
     @property
     def n_march(self) -> int:
@@ -85,9 +91,14 @@ class RenderConfig:
         return self.n_march // self.march_coarse
 
     @property
+    def samples_per_window(self) -> int:
+        assert self.march_coarse % self.sample_stride == 0
+        return self.march_coarse // self.sample_stride
+
+    @property
     def max_windows(self) -> int:
-        assert self.max_samples % self.march_coarse == 0
-        return self.max_samples // self.march_coarse
+        assert self.max_samples % self.samples_per_window == 0
+        return self.max_samples // self.samples_per_window
 
     @property
     def n_segments(self) -> int:
@@ -211,12 +222,14 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         vals, widx = jax.lax.top_k(keys, cfg.max_windows)      # [N, W]
         wvalid = (vals > 0).astype(jnp.float32)
 
-    fine = jnp.arange(c, dtype=jnp.float32)
+    st = cfg.sample_stride
+    spw = cfg.samples_per_window
+    fine = (jnp.arange(spw, dtype=jnp.float32) + 0.5) * st
     t_mid = (cfg.near
              + ((widx.astype(jnp.float32) * c)[:, :, None] + fine[None, None, :]
-                + 0.5 + jitter[:, :, None]) * cfg.step).reshape(n, -1)
+                + jitter[:, :, None] * st) * cfg.step).reshape(n, -1)
     valid = jnp.broadcast_to(wvalid[:, :, None],
-                             (n, cfg.max_windows, c)).reshape(n, -1)
+                             (n, cfg.max_windows, spw)).reshape(n, -1)
     valid = valid * (t_mid < cfg.far)
     return t_mid, valid
 
@@ -270,7 +283,7 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         sigma = jax.lax.stop_gradient(sigma)
     sigma = sigma * valid
 
-    tau = sigma * cfg.step
+    tau = sigma * (cfg.step * cfg.sample_stride)
     trans = jnp.exp(-_exclusive_cumsum(tau))
     alpha = 1.0 - jnp.exp(-tau)
     weights = trans * alpha                                     # [N, S]
@@ -281,7 +294,7 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
     n = rays_o.shape[0]
     if need_rgb:
         kw = cfg.eval_rgb_windows
-        c = cfg.march_coarse
+        c = cfg.samples_per_window
         s = t_mid.shape[1]
         if (not train) and kw and kw * c < s:
             # eval fast path: color only the top-kw weight windows (window
@@ -405,7 +418,7 @@ def render_image(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
                 occ_grid, o, d, cfg)
             slack = 1
         per_chunk = np.asarray(jnp.max(counts.reshape(-1, chunk), axis=1))
-        c = cfg.march_coarse
+        c = cfg.samples_per_window
         budgets = []
         for w_need in per_chunk:
             s_need = (int(w_need) + slack) * c

@@ -1,0 +1,257 @@
+"""Baked snapshot renderer — the TPU-first fast eval path.
+
+Why this exists (all rates measured on the chip, BASELINE.md): TPU random
+row gathers run at a fixed per-ROW rate (~70-200M rows/s depending on
+table size), independent of row width up to 256 lanes. Field eval costs
+~6 gather rows per sample (one per active hash level), so eval rendering
+is gather-row-bound — the regime where CUDA's L2 makes tcnn cheap and the
+TPU is ~10x slower per row. The appearance head is view-INDEPENDENT
+(``fields/ngp.py:10``, reference ``modules/fields/ngp_nerf.py``
+use_viewdirs=False), so after an episode the whole radiance field can be
+baked once into ONE dense brick-packed grid whose rows carry
+(sigma, r, g, b) x 4^3 corners in 256 bf16 lanes:
+
+- every eval sample costs exactly ONE 256-lane row gather (6x fewer rows),
+- the bake grid's Nyquist step lets the march sample ~4x sparser inside
+  occupied windows (``RenderConfig.sample_stride``),
+- the bake itself is a streaming sweep over occupied voxels only
+  (one-shot, amortized over e.g. the 180-frame ``render_dense`` sweep —
+  reference ``core_exp_runner.py:223-246``).
+
+The reference has no baked path; it re-queries tcnn per sample per frame.
+This is the redesign, not a port: same compositing semantics as
+``renderer.render_rays`` eval (checked by the parity test), different
+execution plan. Brick packing mirrors ``kernels/brickgrid.py`` (dense
+brick indexing, feature-interleaved lanes) so the same factored
+interpolation applies with n_features=4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.ngp import (NGPFieldConfig, query_density_coords,
+                          query_rgb_coords)
+from ..kernels.brickgrid import BRICK, BLANE, _interp_from_rows, _axis_split
+from .renderer import (RenderConfig, march_rays, count_occupied_windows,
+                       _frame_window_counts)
+
+SNAP_F = 4   # lanes per corner: sigma, r, g, b
+
+
+@dataclasses.dataclass(frozen=True)
+class SnapshotConfig:
+    res: int = 512              # bake grid resolution over the aabb
+    # march-step multiplier; None -> largest divisor of march_coarse that
+    # keeps the sample spacing <= ~half a bake voxel (Nyquist for the grid).
+    # A fixed value is a footgun: the right stride depends on the
+    # RenderConfig step (flagship 5e-4 -> 4; tiny-test 4e-3 -> 1).
+    sample_stride: int | None = None
+    bake_chunk: int = 1 << 21   # field-eval points per bake dispatch
+    # eval sample cap at the snapshot stride; None -> 256 // stride
+    # (the field path's cap, shrunk by the sparser in-window sampling)
+    max_samples: int | None = None
+
+    @property
+    def n_bricks(self) -> int:
+        return self.res // BRICK + 1
+
+    def resolve_stride(self, render_cfg: RenderConfig) -> int:
+        if self.sample_stride is not None:
+            return self.sample_stride
+        voxel = 2.0 / self.res          # aabb spans [-1, 1]
+        want = max(1, int(round(voxel / (2.0 * render_cfg.step))))
+        stride = 1
+        for d in range(1, render_cfg.march_coarse + 1):
+            if render_cfg.march_coarse % d == 0 and d <= want:
+                stride = d
+        return stride
+
+
+@partial(jax.jit, static_argnames=("nb",), donate_argnums=(0,))
+def _brick_pack_dense(vol: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """[res+1, res+1, res+1, F] corner values -> [nb^3, 64*F] rows.
+
+    Brick b covers corners [3b, 3b+3] per axis (overlap 1, exactly as
+    kernels/brickgrid.py); lane = ((cx*4+cy)*4+cz)*F + f. Built from 64
+    strided slices — pure reshapes/slices, no gathers. Jitted with the
+    input donated: at flagship res the packed table is ~2.6 GB and an
+    eager pack materializes every slice (OOM on a 16 GB chip)."""
+    f = vol.shape[-1]
+    pad = 3 * nb + 1 - vol.shape[0]
+    vol = jnp.pad(vol, ((0, pad), (0, pad), (0, pad), (0, 0)))
+    lanes = []
+    for a in range(BLANE):
+        for b in range(BLANE):
+            for c in range(BLANE):
+                lanes.append(jax.lax.slice(
+                    vol, (a, b, c, 0),
+                    (a + 3 * (nb - 1) + 1, b + 3 * (nb - 1) + 1,
+                     c + 3 * (nb - 1) + 1, f),
+                    (3, 3, 3, 1)))                     # [nb, nb, nb, F]
+    packed = jnp.stack(lanes, axis=-2)                 # [nb, nb, nb, 64, F]
+    return packed.reshape(nb ** 3, 64 * f).astype(jnp.bfloat16)
+
+
+def bake_snapshot(params: dict, field_cfg: NGPFieldConfig,
+                  occ_grid: jnp.ndarray, occ_res: int,
+                  cfg: SnapshotConfig) -> jnp.ndarray:
+    """Evaluate (sigma, rgb) on the bake grid's occupied corners and pack.
+
+    Only corners whose (1-dilated) occupancy voxel is set are evaluated —
+    the march never samples outside occupied windows, and the dilation
+    covers interpolation support at shell boundaries. Returns the packed
+    [nb^3, 256] bf16 table.
+    """
+    res = cfg.res
+    # dilate occupancy once (device), then select corners on host
+    g = occ_grid.reshape(occ_res, occ_res, occ_res)
+    g = jax.lax.reduce_window(g, np.uint8(0), jax.lax.max,
+                              (3, 3, 3), (1, 1, 1), "SAME")
+    occ_np = np.asarray(g).astype(bool)
+
+    # corner i -> world -1 + 2*i/res -> occupancy voxel
+    corner01 = np.arange(res + 1, dtype=np.float64) / res
+    vox = np.clip((corner01 * occ_res).astype(np.int64), 0, occ_res - 1)
+    occ_corner = occ_np[np.ix_(vox, vox, vox)]
+    ii, jj, kk = np.nonzero(occ_corner)
+    n_occ = ii.shape[0]
+
+    span = field_cfg.aabb_max - field_cfg.aabb_min
+    vol = np.zeros((res + 1, res + 1, res + 1, SNAP_F), np.float32)
+
+    @jax.jit
+    def eval_chunk(params, x, y, z):
+        sig = query_density_coords(params["geo"], x, y, z, field_cfg)
+        r, g_, b = query_rgb_coords(params["app"], x, y, z, field_cfg)
+        return sig, r, g_, b
+
+    chunk = cfg.bake_chunk
+    corner_w = (corner01 * span + field_cfg.aabb_min).astype(np.float32)
+    for start in range(0, n_occ, chunk):
+        sl = slice(start, start + chunk)
+        i_c, j_c, k_c = ii[sl], jj[sl], kk[sl]
+        n = i_c.shape[0]
+        n_pad = (-n) % 1024
+        if n_pad:
+            i_c = np.concatenate([i_c, np.zeros(n_pad, i_c.dtype)])
+            j_c = np.concatenate([j_c, np.zeros(n_pad, j_c.dtype)])
+            k_c = np.concatenate([k_c, np.zeros(n_pad, k_c.dtype)])
+        outs = eval_chunk(params, jnp.asarray(corner_w[i_c]),
+                          jnp.asarray(corner_w[j_c]),
+                          jnp.asarray(corner_w[k_c]))
+        outs = np.stack([np.asarray(o) for o in outs], axis=-1)[:n]
+        vol[ii[sl], jj[sl], kk[sl]] = outs
+
+    # ship the volume bf16 (halves the H2D transfer through the tunnel;
+    # the table is bf16 anyway) and pack on device under jit
+    return _brick_pack_dense(jnp.asarray(vol.astype(jnp.bfloat16)),
+                             cfg.n_bricks)
+
+
+def snapshot_render_cfg(render_cfg: RenderConfig,
+                        cfg: SnapshotConfig) -> RenderConfig:
+    """March config for the snapshot: same ladder/windows/occupancy as the
+    field path, sparser in-window sampling at the bake grid's Nyquist."""
+    stride = cfg.resolve_stride(render_cfg)
+    assert render_cfg.march_coarse % stride == 0
+    max_samples = cfg.max_samples or max(
+        render_cfg.march_coarse // stride, 256 // stride)
+    return dataclasses.replace(render_cfg, sample_stride=stride,
+                               max_samples=max_samples)
+
+
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res"))
+def _snapshot_chunk(table, occ_grid, o_c, d_c, field_cfg, cfg, res,
+                    query_keys):
+    """One snapshot eval dispatch: march -> ONE row gather per sample ->
+    factored interp of (sigma, r, g, b) -> composite (eval semantics of
+    render_rays: gray bg, eval_bg_distance fill)."""
+    t_mid, valid = march_rays(occ_grid, o_c, d_c,
+                              jax.random.PRNGKey(0), cfg, stratified=False)
+    span = field_cfg.aabb_max - field_cfg.aabb_min
+    nx = (o_c[:, 0:1] + d_c[:, 0:1] * t_mid - field_cfg.aabb_min) / span
+    ny = (o_c[:, 1:2] + d_c[:, 1:2] * t_mid - field_cfg.aabb_min) / span
+    nz = (o_c[:, 2:3] + d_c[:, 2:3] * t_mid - field_cfg.aabb_min) / span
+    sel = ((nx > 0.0) & (nx < 1.0) & (ny > 0.0) & (ny < 1.0)
+           & (nz > 0.0) & (nz < 1.0)).astype(jnp.float32)
+
+    bx, lx, fx = _axis_split(nx, res, False)
+    by, ly, fy = _axis_split(ny, res, False)
+    bz, lz, fz = _axis_split(nz, res, False)
+    nb = res // BRICK + 1
+    rows = bx * (nb * nb) + by * nb + bz
+    sig, r, g, b = _interp_from_rows(table[rows], (lx, ly, lz),
+                                     (fx, fy, fz), SNAP_F)
+    sig = jnp.maximum(sig, 0.0) * valid * sel
+
+    tau = sig * (cfg.step * cfg.sample_stride)
+    trans = jnp.exp(-(jnp.cumsum(tau, axis=-1) - tau))
+    weights = trans * (1.0 - jnp.exp(-tau))
+    opacity = jnp.sum(weights, axis=-1, keepdims=True)
+    distance = jnp.sum(weights * t_mid, axis=-1, keepdims=True)
+    colors = jnp.stack([jnp.sum(weights * jnp.clip(v, 0.0, 1.0), axis=-1)
+                        for v in (r, g, b)], axis=-1)
+    rest = 1.0 - opacity
+    distance = distance + cfg.eval_bg_distance * rest
+    colors = colors + 0.5 * rest
+    out = {"rgb": colors, "distance": distance, "opacity": opacity}
+    return {q: out[q] for q in query_keys}
+
+
+def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
+                          occ_grid: jnp.ndarray, rays, render_cfg: RenderConfig,
+                          snap_cfg: SnapshotConfig,
+                          query_keys=("rgb", "distance"),
+                          chunk: int = 32768) -> dict:
+    """Chunked snapshot render with the same per-chunk adaptive budgets as
+    renderer.render_image."""
+    cfg = snapshot_render_cfg(render_cfg, snap_cfg)
+    pre_shape = rays.o.shape[:-1]
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+    n = o.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], 0)
+
+    budgets = None
+    if cfg.adaptive_eval:
+        if (len(pre_shape) == 2 and pre_shape[0] % 4 == 0
+                and pre_shape[1] % 4 == 0):
+            counts = _frame_window_counts(occ_grid, rays.o, rays.d, cfg)
+            counts = counts.reshape(-1)
+            if n_pad:
+                counts = jnp.concatenate(
+                    [counts, jnp.zeros((n_pad,), counts.dtype)])
+            slack = 2
+        else:
+            counts = jax.jit(count_occupied_windows, static_argnums=3)(
+                occ_grid, o, d, cfg)
+            slack = 1
+        per_chunk = np.asarray(jnp.max(counts.reshape(-1, chunk), axis=1))
+        spw = cfg.samples_per_window
+        budgets = []
+        for w_need in per_chunk:
+            s_need = (int(w_need) + slack) * spw
+            b = max(4 * spw, 1 << (s_need - 1).bit_length())
+            budgets.append(min(cfg.max_samples, b))
+
+    outs = []
+    for ci, start in enumerate(range(0, n + n_pad, chunk)):
+        cfg_c = cfg if budgets is None else dataclasses.replace(
+            cfg, max_samples=budgets[ci])
+        outs.append(_snapshot_chunk(table, occ_grid, o[start:start + chunk],
+                                    d[start:start + chunk], field_cfg, cfg_c,
+                                    snap_cfg.res, tuple(query_keys)))
+    ret = {}
+    for q in query_keys:
+        cat = jnp.concatenate([c[q] for c in outs], axis=0)[:n]
+        ret[q] = cat.reshape(*pre_shape, cat.shape[-1])
+    return ret

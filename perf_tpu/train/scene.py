@@ -111,6 +111,9 @@ class NeRFScene(Scene):
         # encode cost is proportional to sample ROWS, and on pool-derived
         # occupancy shells most rays occupy a small fraction of the cap
         self.sample_budget: int | None = None
+        # baked snapshot table for the fast eval path (render/snapshot.py);
+        # invalidated whenever the field trains
+        self.snapshot: jnp.ndarray | None = None
         self._phase_fns = {}
 
     # -- helpers -------------------------------------------------------------
@@ -286,6 +289,7 @@ class NeRFScene(Scene):
         self.params = reset_geo(self.params, self._next_key(), self.field_cfg)
         arrs = sup_pool.device_arrays()
         self.sample_budget = self.select_sample_budget(arrs)
+        self.snapshot = None            # field changes -> stale bake
         capacity = int(arrs["rays_o"].shape[0])
         n_rays = tc.pixel_loss_batch_size
         with phase_timer(self.writer, "fit_geo", self.global_iter_geo,
@@ -298,6 +302,28 @@ class NeRFScene(Scene):
                                          tc.raw_phase_iter_app)
         self.writer.flush()
         return {"geo_losses": geo_losses, "app_losses": app_losses}
+
+    def bake_snapshot(self, snap_cfg=None):
+        """Bake the current field into the dense snapshot table
+        (render/snapshot.py) for gather-minimal eval rendering. Re-baked
+        lazily after every fit; call before a long render sweep."""
+        from ..render.snapshot import SnapshotConfig, bake_snapshot
+        self._snap_cfg = snap_cfg or SnapshotConfig()
+        self.snapshot = bake_snapshot(self.params, self.field_cfg,
+                                      self.occ_grid, self.render_cfg.occ_res,
+                                      self._snap_cfg)
+        return self.snapshot
+
+    def render_snapshot(self, rays: Rays, query_keys=("rgb", "distance"),
+                        chunk: int = 32768):
+        """Eval render through the baked snapshot (bakes on first use)."""
+        from ..render.snapshot import render_snapshot_image
+        if self.snapshot is None:
+            self.bake_snapshot()
+        return render_snapshot_image(self.snapshot, self.field_cfg,
+                                     self.occ_grid, rays, self.render_cfg,
+                                     self._snap_cfg, query_keys=query_keys,
+                                     chunk=chunk)
 
     def render(self, rays: Rays, query_keys=("rgb",), key=None, chunk=None):
         """Chunked eval render (``nerf.py:74-99``).

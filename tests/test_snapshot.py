@@ -1,0 +1,54 @@
+"""Baked-snapshot renderer parity: the fast eval path must agree with the
+field renderer (same compositing semantics, bake-grid-resolution error only).
+
+The reference has no baked path (it re-queries tcnn per sample per frame,
+``modules/scene/nerf_renderer.py:164-183``); the snapshot is the TPU-first
+redesign, so this test anchors it to the field render instead of to torch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perf_tpu.core import gen_pano_rays
+from perf_tpu.render.snapshot import SnapshotConfig
+from perf_tpu.utils import render_cube_room_pano, psnr
+
+from test_train import _make_pool, _tiny_scene
+
+
+def test_snapshot_matches_field_render():
+    pool, pano = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+
+    rays = gen_pano_rays(jnp.eye(4), 32, 64)
+    ref = scene.render(rays, query_keys=("rgb", "distance"), chunk=1024)
+
+    snap_cfg = SnapshotConfig(res=192, sample_stride=4, max_samples=64)
+    scene.bake_snapshot(snap_cfg)
+    assert scene.snapshot.dtype == jnp.bfloat16
+    out = scene.render_snapshot(rays, query_keys=("rgb", "distance"),
+                                chunk=1024)
+
+    mask = np.asarray(pool.sup_infos[0].mask)[..., 0]
+    gt_rgb = np.asarray(pano["rgb"])
+    p_field = psnr(np.asarray(ref["rgb"])[mask], gt_rgb[mask])
+    p_snap = psnr(np.asarray(out["rgb"])[mask], gt_rgb[mask])
+    # snapshot reaches reference-grade quality (golden bar is 18 dB;
+    # measured: field 43.4 dB, snapshot 39.6 dB at res=192 — the gap is
+    # bake-grid quantization, shrinking with res)
+    assert p_snap > 30.0, (p_snap, p_field)
+    assert p_snap > p_field - 5.0, (p_snap, p_field)
+
+    # and agrees with it directly
+    p_agree = psnr(np.asarray(out["rgb"]), np.asarray(ref["rgb"]))
+    assert p_agree > 25.0, p_agree
+    d_err = np.abs(np.asarray(out["distance"]) -
+                   np.asarray(ref["distance"]))[mask].mean()
+    assert d_err < 0.05, d_err
+
+    # bake invalidation: training again clears the snapshot
+    scene.snapshot = scene.snapshot  # still set
+    scene.fit(pool)
+    assert scene.snapshot is None
