@@ -621,7 +621,10 @@ class DiffusionInpainterBackend(Inpainter):
                     "checkpoint or use the fake inpainter backend")
             import torch
             ckpt = torch.load(path, map_location="cpu")
-            variables = convert_sd_state_dict(ckpt.get("state_dict", ckpt))
+            sd = ckpt.get("state_dict", ckpt)
+            from ..utils.manifest import validate_state_dict
+            validate_state_dict(sd, "sd2_inpaint")
+            variables = convert_sd_state_dict(sd)
         self.variables = variables
         self._unet_apply = jax.jit(self.unet.apply)
         self._run = jax.jit(self._inpaint_jit)

@@ -337,6 +337,8 @@ class LamaInpainterBackend(Inpainter):
             import torch
             ckpt = torch.load(path, map_location="cpu")
             sd = ckpt.get("state_dict", ckpt)
+            from ..utils.manifest import validate_state_dict
+            validate_state_dict(sd, "lama")
             variables = convert_lama_state_dict(sd)
         self.variables = variables
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))

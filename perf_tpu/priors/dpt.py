@@ -395,8 +395,12 @@ class _DPTBackend:
             import torch
             ckpt = torch.load(path, map_location="cpu")
             sd = ckpt.get("state_dict", ckpt)
-            if any(k.startswith("model.") for k in sd):
-                sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
+            if not any(k.startswith("model.") for k in sd):
+                sd = {"model." + k: v for k, v in sd.items()}
+            from ..utils.manifest import validate_state_dict
+            validate_state_dict(
+                sd, "dpt_depth" if self.num_channels == 1 else "dpt_normal")
+            sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
             variables = convert_dpt_state_dict(sd)
         self.variables = variables
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
