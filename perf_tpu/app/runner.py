@@ -318,6 +318,13 @@ class CoreRunner:
                                        n_dense_poses=n_poses)
         out_dir = pjoin(self.exp_dir, "dense_images_new_" + cam_type)
         os.makedirs(out_dir, exist_ok=True)
+        # bake the field once, then render every frame through the snapshot
+        # (one 256-lane gather per sample; the bake amortizes over the
+        # sweep — reference re-queries the field per sample per frame,
+        # core_exp_runner.py:223-246)
+        use_snapshot = bool(self.conf.get_path("render_dense.snapshot", True))
+        if use_snapshot:
+            self.scene.bake_snapshot()
         frames = []
         for i in range(dense.n_poses):
             pose = dense.sample_pose(i).copy()
@@ -327,7 +334,11 @@ class CoreRunner:
             else:
                 rays = gen_pers_rays(jnp.asarray(pose),
                                      fov=float(np.deg2rad(75.0)), res=rh)
-            out = self.scene.render(rays, query_keys=("rgb", "distance"))
+            if use_snapshot:
+                out = self.scene.render_snapshot(
+                    rays, query_keys=("rgb", "distance"))
+            else:
+                out = self.scene.render(rays, query_keys=("rgb", "distance"))
             rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
             frames.append((rgb * 255).astype(np.uint8))
             write_image(pjoin(out_dir, f"image_{i}.png"), rgb)

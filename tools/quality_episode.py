@@ -78,17 +78,37 @@ def main():
     rays = gen_pano_rays(jnp.eye(4), rh, rw)
     out = scene.render(rays, ("rgb", "distance"), key=jax.random.PRNGKey(7))
     gt = render_cube_room_pano(jnp.eye(4), rh, rw)
-    rgb = np.asarray(out["rgb"], np.float64)
     gt_rgb = np.asarray(gt["rgb"], np.float64)
-    mse = float(np.mean((rgb - gt_rgb) ** 2))
-    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
-    dist = np.asarray(out["distance"], np.float64)[..., 0]
     gt_d = np.asarray(gt["distance"], np.float64)
-    depth_mae = float(np.mean(np.abs(dist - gt_d)))
+    if gt_d.ndim == 3:
+        gt_d = gt_d[..., 0]
+
+    def metrics(o):
+        rgb = np.asarray(o["rgb"], np.float64)
+        mse = float(np.mean((rgb - gt_rgb) ** 2))
+        p = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+        dist = np.asarray(o["distance"], np.float64)[..., 0]
+        return p, float(np.mean(np.abs(dist - gt_d)))
+
+    psnr, depth_mae = metrics(out)
+
+    # baked snapshot path (the fast eval renderer) at the same pose
+    t0 = time.perf_counter()
+    if args.tiny:
+        from perf_tpu.render.snapshot import SnapshotConfig
+        scene.bake_snapshot(SnapshotConfig(res=128))
+    else:
+        scene.bake_snapshot()
+    bake_s = time.perf_counter() - t0
+    snap_out = scene.render_snapshot(rays, ("rgb", "distance"))
+    psnr_snap, depth_mae_snap = metrics(snap_out)
 
     print(json.dumps({
         "psnr": round(psnr, 3),
         "depth_mae": round(depth_mae, 5),
+        "psnr_snapshot": round(psnr_snap, 3),
+        "depth_mae_snapshot": round(depth_mae_snap, 5),
+        "bake_sec": round(bake_s, 1),
         "fit_sec": round(fit_s, 1),
         "samples": render_cfg.max_samples,
         "sup_hw": [h, w], "render_hw": [rh, rw],
