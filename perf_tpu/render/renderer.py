@@ -113,18 +113,22 @@ class RenderConfig:
         return min(self.n_segments, self.max_windows // self.segment_windows + 2)
 
 
-def coarse_occ_grid(occ_grid: jnp.ndarray, res: int) -> jnp.ndarray:
-    """4x-downsampled, 3^3-dilated occupancy: flat [ (res/4)^3 ] uint8.
+def coarse_occ_grid(occ_grid: jnp.ndarray, res: int,
+                    dilate: int = 1) -> jnp.ndarray:
+    """4x-downsampled, (2*dilate+1)^3-dilated occupancy: flat uint8.
 
     Max-pool makes the coarse grid an over-approximation of the fine one;
-    the extra 1-cell dilation guarantees a single center probe per march
+    the 1-cell dilation guarantees a single center probe per march
     segment cannot miss occupancy anywhere in the segment (segment length
-    0.016 world << dilated reach 0.031)."""
+    0.016 world << dilated reach 0.031). ``dilate > 1`` widens the reach
+    so ONE probe ray can stand in for a whole pixel block (beam marching,
+    ``frame_march_plan``)."""
     g = occ_grid.reshape(res, res, res)
     coarse = jax.lax.reduce_window(g, np.uint8(0), jax.lax.max,
                                    (4, 4, 4), (4, 4, 4), "VALID")
+    k = 2 * dilate + 1
     dilated = jax.lax.reduce_window(coarse, np.uint8(0), jax.lax.max,
-                                    (3, 3, 3), (1, 1, 1), "SAME")
+                                    (k, k, k), (1, 1, 1), "SAME")
     return dilated.reshape(-1)
 
 
@@ -163,6 +167,73 @@ def count_occupied_windows(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
     return counts
 
 
+def _select_segments(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, jitter: jnp.ndarray,
+                     cfg: RenderConfig, dilate: int = 1):
+    """Coarse stage of the hierarchical march: probe the dilated
+    4x-downsampled grid once per ``segment_windows``-window segment and
+    keep the first ``max_segments`` occupied segments (t-ordered).
+
+    Returns (sidx int32 [N, max_segments], svalid bool [N, max_segments]).
+    """
+    n = rays_o.shape[0]
+    c = cfg.march_coarse
+    sw = cfg.segment_windows
+    nseg = cfg.n_segments
+    coarse = coarse_occ_grid(occ_grid, cfg.occ_res, dilate=dilate)
+    segs = jnp.arange(nseg, dtype=jnp.float32)
+    t_seg = cfg.near + ((segs[None, :] * sw + 0.5 * sw) * c + jitter) * cfg.step
+    seg_occ = (_probe_points(coarse, rays_o, rays_d, t_seg, cfg.occ_res // 4)
+               * (t_seg < cfg.far))
+    skeys = seg_occ * (nseg - jnp.arange(nseg, dtype=jnp.int32))[None, :]
+    svals, sidx = jax.lax.top_k(skeys, cfg.max_segments)       # t-ordered
+    return sidx, (svals > 0)
+
+
+def _fine_windows_from_segments(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                                rays_d: jnp.ndarray, sidx: jnp.ndarray,
+                                svalid: jnp.ndarray, jitter: jnp.ndarray,
+                                cfg: RenderConfig):
+    """Fine stage: probe the full-res grid only inside the selected
+    segments, compact the first ``max_windows`` occupied windows in t
+    order (widx_cand ascends along the candidate axis, so monotone keys
+    preserve t order)."""
+    n = rays_o.shape[0]
+    c = cfg.march_coarse
+    sw = cfg.segment_windows
+    n_seg_sel = sidx.shape[1]
+    j = jnp.arange(sw, dtype=jnp.int32)
+    widx_cand = (sidx[:, :, None] * sw + j[None, None, :]).reshape(n, -1)
+    t_w = cfg.near + (widx_cand.astype(jnp.float32) * c + 0.5 * c
+                      + jitter) * cfg.step
+    occ_w = (_probe_points(occ_grid, rays_o, rays_d, t_w, cfg.occ_res)
+             * (t_w < cfg.far))
+    occ_w = occ_w * jnp.broadcast_to(
+        svalid[:, :, None].astype(jnp.int32),
+        (n, n_seg_sel, sw)).reshape(n, -1)
+    keys = occ_w * (cfg.n_windows - widx_cand)
+    vals, pos = jax.lax.top_k(keys, cfg.max_windows)
+    wvalid = (vals > 0).astype(jnp.float32)
+    widx = jnp.take_along_axis(widx_cand, pos, axis=1)
+    return widx, wvalid
+
+
+def _windows_to_samples(widx: jnp.ndarray, wvalid: jnp.ndarray,
+                        jitter: jnp.ndarray, cfg: RenderConfig):
+    """Expand selected windows into per-sample (t_mid, valid)."""
+    n = widx.shape[0]
+    st = cfg.sample_stride
+    spw = cfg.samples_per_window
+    fine = (jnp.arange(spw, dtype=jnp.float32) + 0.5) * st
+    t_mid = (cfg.near
+             + ((widx.astype(jnp.float32) * cfg.march_coarse)[:, :, None]
+                + fine[None, None, :] + jitter[:, :, None] * st)
+             * cfg.step).reshape(n, -1)
+    valid = jnp.broadcast_to(wvalid[:, :, None],
+                             (n, cfg.max_windows, spw)).reshape(n, -1)
+    return t_mid, valid * (t_mid < cfg.far)
+
+
 def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                key: jax.Array, cfg: RenderConfig, stratified: bool):
     """Occupancy-culled fixed-step marching with top-k compaction.
@@ -188,31 +259,9 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         return _probe_points(grid, rays_o, rays_d, t, r)
 
     if cfg.hier_march and res % 4 == 0:
-        sw = cfg.segment_windows
-        nseg = cfg.n_segments
-        coarse = coarse_occ_grid(occ_grid, res)
-        segs = jnp.arange(nseg, dtype=jnp.float32)
-        t_seg = cfg.near + ((segs[None, :] * sw + 0.5 * sw) * c
-                            + jitter) * cfg.step
-        seg_occ = probe(t_seg, coarse, res // 4) * (t_seg < cfg.far)
-        skeys = seg_occ * (nseg - jnp.arange(nseg, dtype=jnp.int32))[None, :]
-        svals, sidx = jax.lax.top_k(skeys, cfg.max_segments)   # t-ordered
-        svalid = (svals > 0)
-        # fine probes only inside the chosen segments
-        j = jnp.arange(sw, dtype=jnp.int32)
-        widx_cand = (sidx[:, :, None] * sw + j[None, None, :]).reshape(n, -1)
-        t_w = cfg.near + (widx_cand.astype(jnp.float32) * c + 0.5 * c
-                          + jitter) * cfg.step
-        occ_w = probe(t_w, occ_grid, res) * (t_w < cfg.far)
-        occ_w = occ_w * jnp.broadcast_to(
-            svalid[:, :, None].astype(jnp.int32),
-            (n, cfg.max_segments, sw)).reshape(n, -1)
-        # first max_windows occupied windows in t order (widx_cand ascends
-        # along the candidate axis, so monotone keys preserve t order)
-        keys = occ_w * (cfg.n_windows - widx_cand)
-        vals, pos = jax.lax.top_k(keys, cfg.max_windows)
-        wvalid = (vals > 0).astype(jnp.float32)
-        widx = jnp.take_along_axis(widx_cand, pos, axis=1)
+        sidx, svalid = _select_segments(occ_grid, rays_o, rays_d, jitter, cfg)
+        widx, wvalid = _fine_windows_from_segments(
+            occ_grid, rays_o, rays_d, sidx, svalid, jitter, cfg)
     else:
         wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
         t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
@@ -222,16 +271,7 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         vals, widx = jax.lax.top_k(keys, cfg.max_windows)      # [N, W]
         wvalid = (vals > 0).astype(jnp.float32)
 
-    st = cfg.sample_stride
-    spw = cfg.samples_per_window
-    fine = (jnp.arange(spw, dtype=jnp.float32) + 0.5) * st
-    t_mid = (cfg.near
-             + ((widx.astype(jnp.float32) * c)[:, :, None] + fine[None, None, :]
-                + jitter[:, :, None] * st) * cfg.step).reshape(n, -1)
-    valid = jnp.broadcast_to(wvalid[:, :, None],
-                             (n, cfg.max_windows, spw)).reshape(n, -1)
-    valid = valid * (t_mid < cfg.far)
-    return t_mid, valid
+    return _windows_to_samples(widx, wvalid, jitter, cfg)
 
 
 def _exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -351,6 +391,55 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         "valid": valid,
         "trans": trans,
     }
+
+
+def beam_dilation(rays_d, cfg: RenderConfig) -> int:
+    """Extra coarse-grid dilation (voxels) so ONE block-center probe ray
+    covers every ray of its 4x4 pixel block out to ``cfg.far``.
+
+    Host-side and static: the bound is far * max chord(center_dir,
+    member_dir) / coarse_voxel. Frame origins are shared (one pose), so
+    direction spread is the only beam term. Typical values: 1024x512 pano
+    -> 2; tighter rasters -> 1."""
+    d = np.asarray(rays_d, np.float64)
+    h4, w4 = d.shape[0] // 4 * 4, d.shape[1] // 4 * 4
+    d = d[:h4, :w4]
+    blocks = d.reshape(h4 // 4, 4, w4 // 4, 4, 3)
+    db = blocks.mean(axis=(1, 3))
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    cosmin = np.min(np.sum(blocks * db[:, None, :, None, :], axis=-1))
+    chord = np.sqrt(max(0.0, 2.0 - 2.0 * cosmin))
+    voxel = 8.0 / cfg.occ_res            # coarse voxel: 2 / (occ_res / 4)
+    return int(np.ceil(cfg.far * chord / voxel))
+
+
+@partial(jax.jit, static_argnames=("cfg", "dilate"))
+def frame_march_plan(occ_grid, o_img, d_img, cfg: RenderConfig, dilate: int):
+    """Beam march plan for a full [H, W] ray frame (eval only).
+
+    Coarse segment selection runs ONCE per 4x4 pixel block on the block's
+    mean direction against a beam-dilated coarse grid (16x fewer coarse
+    probe rows than per-ray marching; narrow probes cost per ROW, so probe
+    count IS the march cost). The same pass yields the per-pixel
+    occupied-window bound that drives adaptive per-chunk sample budgets.
+
+    Returns (sidx [nblocks, S], svalid [nblocks, S], counts [H, W]).
+    """
+    h, w = o_img.shape[:2]
+    ob = o_img[::4, ::4].reshape(-1, 3)      # shared origin per frame pose
+    db = jax.lax.reduce_window(d_img, 0.0, jax.lax.add,
+                               (4, 4, 1), (4, 4, 1), "VALID") / 16.0
+    db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
+    db = db.reshape(-1, 3)
+    zeros = jnp.zeros((db.shape[0], 1))
+    sidx, svalid = _select_segments(occ_grid, ob, db, zeros, cfg,
+                                    dilate=1 + dilate)
+    _, wvalid = _fine_windows_from_segments(occ_grid, ob, db, sidx, svalid,
+                                            zeros, cfg)
+    counts = jnp.sum(wvalid.astype(jnp.int32), axis=1).reshape(h // 4, w // 4)
+    counts = jax.lax.reduce_window(counts, jnp.int32(0), jax.lax.max,
+                                   (3, 3), (1, 1), "SAME")
+    return sidx, svalid, jnp.repeat(jnp.repeat(counts, 4, 0), 4, 1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -39,7 +39,8 @@ from ..fields.ngp import (NGPFieldConfig, query_density_coords,
                           query_rgb_coords)
 from ..kernels.brickgrid import BRICK, BLANE, _interp_from_rows, _axis_split
 from .renderer import (RenderConfig, march_rays, count_occupied_windows,
-                       _frame_window_counts)
+                       beam_dilation, frame_march_plan,
+                       _fine_windows_from_segments, _windows_to_samples)
 
 SNAP_F = 4   # lanes per corner: sigma, r, g, b
 
@@ -174,6 +175,26 @@ def _snapshot_chunk(table, occ_grid, o_c, d_c, field_cfg, cfg, res,
     render_rays: gray bg, eval_bg_distance fill)."""
     t_mid, valid = march_rays(occ_grid, o_c, d_c,
                               jax.random.PRNGKey(0), cfg, stratified=False)
+    return _composite_snapshot(table, o_c, d_c, t_mid, valid,
+                               field_cfg, cfg, res, query_keys)
+
+
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res"))
+def _snapshot_chunk_planned(table, occ_grid, o_c, d_c, sidx_c, svalid_c,
+                            field_cfg, cfg, res, query_keys):
+    """Planned variant: the coarse segment selection comes from the
+    per-block frame plan (renderer.frame_march_plan); only the fine
+    window probes run per ray."""
+    jitter = jnp.zeros((o_c.shape[0], 1))
+    widx, wvalid = _fine_windows_from_segments(occ_grid, o_c, d_c,
+                                               sidx_c, svalid_c, jitter, cfg)
+    t_mid, valid = _windows_to_samples(widx, wvalid, jitter, cfg)
+    return _composite_snapshot(table, o_c, d_c, t_mid, valid,
+                               field_cfg, cfg, res, query_keys)
+
+
+def _composite_snapshot(table, o_c, d_c, t_mid, valid, field_cfg, cfg, res,
+                        query_keys):
     span = field_cfg.aabb_max - field_cfg.aabb_min
     nx = (o_c[:, 0:1] + d_c[:, 0:1] * t_mid - field_cfg.aabb_min) / span
     ny = (o_c[:, 1:2] + d_c[:, 1:2] * t_mid - field_cfg.aabb_min) / span
@@ -221,20 +242,45 @@ def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
         o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
         d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], 0)
 
-    budgets = None
-    if cfg.adaptive_eval:
-        if (len(pre_shape) == 2 and pre_shape[0] % 4 == 0
-                and pre_shape[1] % 4 == 0):
-            counts = _frame_window_counts(occ_grid, rays.o, rays.d, cfg)
-            counts = counts.reshape(-1)
+    # beam plan: per-4x4-block coarse segments + per-pixel window bounds,
+    # computed once per frame (16x fewer coarse probe rows; probe count IS
+    # the march cost on TPU)
+    use_plan = (len(pre_shape) == 2 and pre_shape[0] % 4 == 0
+                and pre_shape[1] % 4 == 0 and cfg.hier_march
+                and cfg.occ_res % 4 == 0)
+    if use_plan:
+        dil = beam_dilation(rays.d, cfg)
+        use_plan = dil <= 3         # beam wider than 3 voxels: plan admits
+                                    # too much, fall back to per-ray march
+    sidx_px = svalid_px = None
+    counts = slack = None
+    if use_plan:
+        sidx_b, svalid_b, counts = frame_march_plan(
+            occ_grid, rays.o, rays.d, cfg, dil)
+        h4, w4 = pre_shape[0] // 4, pre_shape[1] // 4
+        s_sel = sidx_b.shape[1]
+
+        def expand(x):
+            x = jnp.repeat(jnp.repeat(x.reshape(h4, w4, s_sel), 4, 0), 4, 1)
+            x = x.reshape(-1, s_sel)
             if n_pad:
-                counts = jnp.concatenate(
-                    [counts, jnp.zeros((n_pad,), counts.dtype)])
-            slack = 2
-        else:
-            counts = jax.jit(count_occupied_windows, static_argnums=3)(
-                occ_grid, o, d, cfg)
-            slack = 1
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n_pad, s_sel), x.dtype)], 0)
+            return x
+
+        sidx_px, svalid_px = expand(sidx_b), expand(svalid_b)
+        counts = counts.reshape(-1)
+        if n_pad:
+            counts = jnp.concatenate(
+                [counts, jnp.zeros((n_pad,), counts.dtype)])
+        slack = 2
+    elif cfg.adaptive_eval:
+        counts = jax.jit(count_occupied_windows, static_argnums=3)(
+            occ_grid, o, d, cfg)      # o/d are already padded
+        slack = 1
+
+    budgets = None
+    if cfg.adaptive_eval and counts is not None:
         per_chunk = np.asarray(jnp.max(counts.reshape(-1, chunk), axis=1))
         spw = cfg.samples_per_window
         budgets = []
@@ -247,9 +293,15 @@ def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
     for ci, start in enumerate(range(0, n + n_pad, chunk)):
         cfg_c = cfg if budgets is None else dataclasses.replace(
             cfg, max_samples=budgets[ci])
-        outs.append(_snapshot_chunk(table, occ_grid, o[start:start + chunk],
-                                    d[start:start + chunk], field_cfg, cfg_c,
-                                    snap_cfg.res, tuple(query_keys)))
+        sl = slice(start, start + chunk)
+        if use_plan:
+            outs.append(_snapshot_chunk_planned(
+                table, occ_grid, o[sl], d[sl], sidx_px[sl], svalid_px[sl],
+                field_cfg, cfg_c, snap_cfg.res, tuple(query_keys)))
+        else:
+            outs.append(_snapshot_chunk(table, occ_grid, o[sl], d[sl],
+                                        field_cfg, cfg_c, snap_cfg.res,
+                                        tuple(query_keys)))
     ret = {}
     for q in query_keys:
         cat = jnp.concatenate([c[q] for c in outs], axis=0)[:n]

@@ -52,3 +52,34 @@ def test_snapshot_matches_field_render():
     scene.snapshot = scene.snapshot  # still set
     scene.fit(pool)
     assert scene.snapshot is None
+
+
+def test_beam_plan_matches_per_ray_march():
+    """The beam-plan path (frame_march_plan + planned chunks) must agree
+    with the per-ray hierarchical march: the plan's dilated coarse grid
+    can only ADMIT extra segments, never lose a surface."""
+    from perf_tpu.render.renderer import beam_dilation
+    from perf_tpu.render.snapshot import snapshot_render_cfg
+
+    pool, pano = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+    snap_cfg = SnapshotConfig(res=128)
+    scene.bake_snapshot(snap_cfg)
+
+    # 128x256 raster: block beam fits the dilation bound -> plan is used
+    rays = gen_pano_rays(jnp.eye(4), 128, 256)
+    cfg = snapshot_render_cfg(scene.render_cfg, snap_cfg)
+    assert beam_dilation(rays.d, cfg) <= 3, "plan not exercised"
+    planned = scene.render_snapshot(rays, ("rgb", "distance"), chunk=8192)
+
+    # flat ray list of the same rays -> per-ray fallback path
+    flat = type(rays)(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
+    perray = scene.render_snapshot(flat, ("rgb", "distance"), chunk=8192)
+
+    p = psnr(np.asarray(planned["rgb"]).reshape(-1, 3),
+             np.asarray(perray["rgb"]))
+    assert p > 40.0, p
+    d_err = np.abs(np.asarray(planned["distance"]).reshape(-1, 1)
+                   - np.asarray(perray["distance"])).mean()
+    assert d_err < 0.01, d_err
