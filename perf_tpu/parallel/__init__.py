@@ -2,5 +2,5 @@ from .mesh import (
     make_mesh, replicated, ray_sharding, table_sharding, shard_params,
     shard_rays,
 )
-from .dp import build_dp_train_step
+from .dp import build_dp_train_step, build_dp_render
 from .multi_scene import init_multi_scene_params, build_multi_scene_step

@@ -85,3 +85,28 @@ def build_dp_train_step(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
         return new_params, {"geo": st_g, "app": st_a}, metrics
 
     return init_opt_state, train_step
+
+
+def build_dp_render(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
+                    mesh, query_keys=("rgb", "distance")):
+    """Mesh-sharded eval rendering (SURVEY §2.4: "render tiles across a
+    Mesh axis 'data'"). Returns render_chunk(params, occ_grid, o, d):
+    one jitted dispatch with the ray axis sharded over 'data' and params
+    replicated — each chip marches and composites its ray shard, no
+    cross-chip traffic at all (rays are independent).
+
+    The chunk length must be a multiple of the 'data' axis size; callers
+    pad (render_image's chunk padding already guarantees this for
+    power-of-two chunks).
+    """
+    keys = tuple(query_keys)
+
+    @jax.jit
+    def render_chunk(params, occ_grid, o, d):
+        o, d = shard_rays({"o": o, "d": d}, mesh).values()
+        out = render_rays(params, field_cfg, occ_grid, o, d,
+                          jax.random.PRNGKey(0), render_cfg, train=False,
+                          need_rgb="rgb" in keys)
+        return {q: out[q] for q in keys}
+
+    return render_chunk

@@ -212,7 +212,9 @@ def _fine_windows_from_segments(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
         svalid[:, :, None].astype(jnp.int32),
         (n, n_seg_sel, sw)).reshape(n, -1)
     keys = occ_w * (cfg.n_windows - widx_cand)
-    vals, pos = jax.lax.top_k(keys, cfg.max_windows)
+    # tiny ladders (short far / coarse steps) can have fewer candidate
+    # windows than the budget allows — k must not exceed the axis
+    vals, pos = jax.lax.top_k(keys, min(cfg.max_windows, keys.shape[1]))
     wvalid = (vals > 0).astype(jnp.float32)
     widx = jnp.take_along_axis(widx_cand, pos, axis=1)
     return widx, wvalid
@@ -230,7 +232,7 @@ def _windows_to_samples(widx: jnp.ndarray, wvalid: jnp.ndarray,
                 + fine[None, None, :] + jitter[:, :, None] * st)
              * cfg.step).reshape(n, -1)
     valid = jnp.broadcast_to(wvalid[:, :, None],
-                             (n, cfg.max_windows, spw)).reshape(n, -1)
+                             (n, wvalid.shape[1], spw)).reshape(n, -1)
     return t_mid, valid * (t_mid < cfg.far)
 
 
@@ -268,7 +270,8 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         occ = probe(t_probe, occ_grid, res) * (t_probe < cfg.far)
         keys = occ * (cfg.n_windows
                       - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
-        vals, widx = jax.lax.top_k(keys, cfg.max_windows)      # [N, W]
+        vals, widx = jax.lax.top_k(keys, min(cfg.max_windows,
+                                             keys.shape[1]))    # [N, W]
         wvalid = (vals > 0).astype(jnp.float32)
 
     return _windows_to_samples(widx, wvalid, jitter, cfg)

@@ -74,15 +74,15 @@ class SnapshotConfig:
         return stride
 
 
-@partial(jax.jit, static_argnames=("nb",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("nb",))
 def _brick_pack_dense(vol: jnp.ndarray, nb: int) -> jnp.ndarray:
     """[res+1, res+1, res+1, F] corner values -> [nb^3, 64*F] rows.
 
     Brick b covers corners [3b, 3b+3] per axis (overlap 1, exactly as
     kernels/brickgrid.py); lane = ((cx*4+cy)*4+cz)*F + f. Built from 64
-    strided slices — pure reshapes/slices, no gathers. Jitted with the
-    input donated: at flagship res the packed table is ~2.6 GB and an
-    eager pack materializes every slice (OOM on a 16 GB chip)."""
+    strided slices — pure reshapes/slices, no gathers. Jitted: at flagship
+    res the packed table is ~2.6 GB and an eager pack materializes every
+    slice separately (OOM on a 16 GB chip)."""
     f = vol.shape[-1]
     pad = 3 * nb + 1 - vol.shape[0]
     vol = jnp.pad(vol, ((0, pad), (0, pad), (0, pad), (0, 0)))

@@ -64,6 +64,9 @@ class TrainConfig:
     app_optimizer: OptimConfig = OptimConfig()
     scan_chunk: int = 100
     # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
+    # DEAD by parity: the reference declares these in every config
+    # (configs/nerf.yaml:30-31) but no reference code path reads them;
+    # kept so reference config files load unchanged, intentionally unused.
     ignore_near: bool = True
     cross_depth_check: bool = True
 

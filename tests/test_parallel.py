@@ -172,3 +172,24 @@ def test_brick_table_model_sharding():
     _, _, m = step(p, init_opt(p), grid, b, jax.random.PRNGKey(7),
                    jnp.asarray(0.5))
     assert np.isfinite(float(m["depth_loss"]))
+
+
+def test_dp_render_matches_single_device():
+    """Sharded eval render == unsharded render_rays on the same rays."""
+    from perf_tpu.parallel import build_dp_render
+    from perf_tpu.render import render_rays
+    field_cfg, render_cfg, params, grid, batch = _setup()
+    mesh = make_mesh()
+    render_chunk = build_dp_render(field_cfg, render_cfg, mesh)
+    p = shard_params(params, mesh)
+    o = jax.device_put(batch["rays_o"], ray_sharding(mesh))
+    d = jax.device_put(batch["rays_d"], ray_sharding(mesh))
+    out = render_chunk(p, grid, o, d)
+
+    ref = render_rays(params, field_cfg, grid, batch["rays_o"],
+                      batch["rays_d"], jax.random.PRNGKey(0), render_cfg,
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["distance"]),
+                               np.asarray(ref["distance"]), atol=1e-5)

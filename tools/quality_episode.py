@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="shrunk smoke configuration")
+    ap.add_argument("--scene-ckpt", type=str, default=None,
+                    help="save the fitted scene here (or load it if the "
+                         "file exists) so snapshot variants can be "
+                         "evaluated without re-fitting")
+    ap.add_argument("--snap-res", type=int, default=None)
+    ap.add_argument("--snap-stride", type=int, default=None)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -71,8 +77,17 @@ def main():
         raw_phase_iter_geo=args.geo, raw_phase_iter_app=args.app,
         scan_chunk=1 if not args.tiny else 5)
     scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
-    scene.fit(pool)
-    fit_s = time.perf_counter() - t0
+    ckpt = args.scene_ckpt
+    if ckpt and os.path.exists(ckpt):
+        from perf_tpu.train import load_checkpoint
+        scene.load_state_dict(load_checkpoint(ckpt))
+        fit_s = 0.0
+    else:
+        scene.fit(pool)
+        fit_s = time.perf_counter() - t0
+        if ckpt:
+            from perf_tpu.train import save_checkpoint
+            save_checkpoint(ckpt, scene.state_dict())
 
     rh, rw = args.render_hw
     rays = gen_pano_rays(jnp.eye(4), rh, rw)
@@ -94,11 +109,15 @@ def main():
 
     # baked snapshot path (the fast eval renderer) at the same pose
     t0 = time.perf_counter()
+    from perf_tpu.render.snapshot import SnapshotConfig
+    snap_kw = {}
     if args.tiny:
-        from perf_tpu.render.snapshot import SnapshotConfig
-        scene.bake_snapshot(SnapshotConfig(res=128))
-    else:
-        scene.bake_snapshot()
+        snap_kw["res"] = 128
+    if args.snap_res:
+        snap_kw["res"] = args.snap_res
+    if args.snap_stride:
+        snap_kw["sample_stride"] = args.snap_stride
+    scene.bake_snapshot(SnapshotConfig(**snap_kw) if snap_kw else None)
     bake_s = time.perf_counter() - t0
     snap_out = scene.render_snapshot(rays, ("rgb", "distance"))
     psnr_snap, depth_mae_snap = metrics(snap_out)
@@ -114,6 +133,8 @@ def main():
         "sup_hw": [h, w], "render_hw": [rh, rw],
         "geo_iters": args.geo, "app_iters": args.app,
         "platform": jax.devices()[0].platform,
+        "snap_res": scene._snap_cfg.res,
+        "snap_stride": scene._snap_cfg.resolve_stride(scene.render_cfg),
     }))
 
 
