@@ -47,11 +47,17 @@ SNAP_F = 4   # lanes per corner: sigma, r, g, b
 
 @dataclasses.dataclass(frozen=True)
 class SnapshotConfig:
-    res: int = 512              # bake grid resolution over the aabb
+    # bake grid resolution over the aabb. Flagship ablation (full episode,
+    # tools/quality_episode.py --scene-ckpt): 384 matches 512 in PSNR
+    # (54.0 vs 53.7 dB; field path 38.5) with a 2.3x smaller table and
+    # proportionally faster gathers/bake.
+    res: int = 384
     # march-step multiplier; None -> largest divisor of march_coarse that
-    # keeps the sample spacing <= ~half a bake voxel (Nyquist for the grid).
-    # A fixed value is a footgun: the right stride depends on the
-    # RenderConfig step (flagship 5e-4 -> 4; tiny-test 4e-3 -> 1).
+    # keeps the sample spacing <= ~one bake voxel. Measured at flagship:
+    # voxel-rate sampling loses 0.3-0.8 dB vs half-voxel (53.2 vs 54.0 at
+    # res 384) and both depth-MAEs IMPROVE, while halving the dominant
+    # per-sample gather rows (1.57 -> 2.14 fps at 1024x512). A fixed value
+    # is a footgun: the right stride depends on the RenderConfig step.
     sample_stride: int | None = None
     bake_chunk: int = 1 << 21   # field-eval points per bake dispatch
     # eval sample cap at the snapshot stride; None -> 256 // stride
@@ -66,7 +72,7 @@ class SnapshotConfig:
         if self.sample_stride is not None:
             return self.sample_stride
         voxel = 2.0 / self.res          # aabb spans [-1, 1]
-        want = max(1, int(round(voxel / (2.0 * render_cfg.step))))
+        want = max(1, int(round(voxel / render_cfg.step)))
         stride = 1
         for d in range(1, render_cfg.march_coarse + 1):
             if render_cfg.march_coarse % d == 0 and d <= want:
