@@ -130,7 +130,9 @@ def test_golden_end_to_end_fit():
     depth_err = np.abs(pred_d - gt_d)[mask].mean()
     assert depth_err < 0.05, depth_err
     p = psnr(np.asarray(out["rgb"])[mask], np.asarray(pano["rgb"])[mask])
-    assert p > 18.0, p
+    # measured 43.4 dB on this config (r2); 30 leaves CI variance margin
+    # while still catching real regressions (r1 bar was 18)
+    assert p > 30.0, p
 
 
 def test_scene_state_roundtrip(tmp_path):
