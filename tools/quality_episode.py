@@ -107,6 +107,13 @@ def main():
 
     psnr, depth_mae = metrics(out)
 
+    # novel-pose quality (the real NVS check: camera displaced off the
+    # supervision pose; GT from the same synthetic room)
+    pose_n = np.eye(4, dtype=np.float32)
+    pose_n[0, 3] = 0.3
+    rays_n = gen_pano_rays(jnp.asarray(pose_n), rh, rw)
+    gt_n = render_cube_room_pano(jnp.asarray(pose_n), rh, rw)
+
     # baked snapshot path (the fast eval renderer) at the same pose
     t0 = time.perf_counter()
     from perf_tpu.render.snapshot import SnapshotConfig
@@ -122,11 +129,27 @@ def main():
     snap_out = scene.render_snapshot(rays, ("rgb", "distance"))
     psnr_snap, depth_mae_snap = metrics(snap_out)
 
+    def metrics_vs(o, gt):
+        rgb = np.asarray(o["rgb"], np.float64)
+        g = np.asarray(gt["rgb"], np.float64)
+        mse = float(np.mean((rgb - g) ** 2))
+        p = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+        dist = np.asarray(o["distance"], np.float64)[..., 0]
+        gd = np.asarray(gt["distance"], np.float64)
+        if gd.ndim == 3:
+            gd = gd[..., 0]
+        return p, float(np.mean(np.abs(dist - gd)))
+
+    psnr_novel, mae_novel = metrics_vs(
+        scene.render_snapshot(rays_n, ("rgb", "distance")), gt_n)
+
     print(json.dumps({
         "psnr": round(psnr, 3),
         "depth_mae": round(depth_mae, 5),
         "psnr_snapshot": round(psnr_snap, 3),
         "depth_mae_snapshot": round(depth_mae_snap, 5),
+        "psnr_novel_pose": round(psnr_novel, 3),
+        "depth_mae_novel_pose": round(mae_novel, 5),
         "bake_sec": round(bake_s, 1),
         "fit_sec": round(fit_s, 1),
         "samples": render_cfg.max_samples,
