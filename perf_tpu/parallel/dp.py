@@ -103,7 +103,10 @@ def build_dp_render(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
 
     @jax.jit
     def render_chunk(params, occ_grid, o, d):
-        o, d = shard_rays({"o": o, "d": d}, mesh).values()
+        # NB: tree_map returns dicts in sorted-key order — index, never
+        # unpack .values()
+        sharded = shard_rays({"o": o, "d": d}, mesh)
+        o, d = sharded["o"], sharded["d"]
         out = render_rays(params, field_cfg, occ_grid, o, d,
                           jax.random.PRNGKey(0), render_cfg, train=False,
                           need_rgb="rgb" in keys)
