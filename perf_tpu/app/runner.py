@@ -94,7 +94,7 @@ def _train_config(tc: Config) -> TrainConfig:
         density_loss_weight=tc.get("density_loss_weight", 0.0),
         geo_optimizer=optim(tc["geo_optimizer"]),
         app_optimizer=optim(tc["app_optimizer"]),
-        scan_chunk=tc.get("scan_chunk", 50),
+        scan_chunk=tc.get("scan_chunk", 1),
         ignore_near=tc.get("ignore_near", True),
         cross_depth_check=tc.get("cross_depth_check", True),
     )
@@ -129,20 +129,25 @@ class CoreRunner:
         assert sc.get("estimator_type", "occ") == "occ", \
             "prop estimator: not implemented (broken in the reference too)"
         rc = sc.get("renderer_conf", {})
+        fc = conf.get_path("scene.field", {}) or {}
+        kind = fc.get("kind", "hash")
         self.render_cfg = RenderConfig(
             bg_color=rc.get("bg_color", "rand_noise"),
             max_samples=conf.get_path("scene.max_samples", 256),
             step=conf.get_path("scene.march_step", 5e-4),
             occ_res=conf.get_path("scene.occ_res", 256),
+            # brick eval materializes [chunk*samples, 128] gather rows;
+            # 8192-ray chunks keep the field-path render under ~1 GB on a
+            # 16 GB chip (measured OOM at 32768 once the pool grows)
+            eval_chunk=rc.get("eval_chunk",
+                              8192 if kind == "brick" else 32768),
         )
-        fc = conf.get_path("scene.field", {}) or {}
-        kind = fc.get("kind", "hash")
         if kind == "brick":
             from ..kernels import BrickGridConfig
             grid = BrickGridConfig(
                 n_levels=fc.get("n_levels", 16),
                 n_features=fc.get("n_features", 2),
-                log2_bricks=fc.get("log2_bricks", 11),
+                log2_bricks=fc.get("log2_bricks", 12),
                 base_res=fc.get("base_res", 16),
                 per_level_scale=fc.get("per_level_scale", 1.4472692012786865))
             self.field_cfg = NGPFieldConfig(grid=grid)

@@ -62,7 +62,7 @@ class TrainConfig:
     density_loss_weight: float = 0.0
     geo_optimizer: OptimConfig = OptimConfig()
     app_optimizer: OptimConfig = OptimConfig()
-    scan_chunk: int = 100
+    scan_chunk: int = 1   # >1 only pays on CPU (tests); scan is ~4x slower on TPU
     # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
     # DEAD by parity: the reference declares these in every config
     # (configs/nerf.yaml:30-31) but no reference code path reads them;
@@ -340,9 +340,14 @@ class NeRFScene(Scene):
         if self.sample_budget and 2 * self.sample_budget < rc.max_samples:
             scale = rc.max_samples // (2 * self.sample_budget)
             if rc.adaptive_eval:
-                # per-chunk budgets handle the cap; just grow the chunk so
-                # rays x samples stays at the cap's memory footprint
-                rc = dataclasses.replace(rc, eval_chunk=rc.eval_chunk * scale)
+                # per-chunk budgets usually stay near 2x the train budget,
+                # but they are only capped at max_samples — so a grown
+                # chunk whose local budget hits the cap would materialize
+                # chunk*max_samples gather rows (measured OOM at 65536x256
+                # on a 16 GB chip). Grow the chunk for dispatch efficiency
+                # but never past 32768 rays.
+                rc = dataclasses.replace(
+                    rc, eval_chunk=min(rc.eval_chunk * scale, 32768))
             else:
                 rc = dataclasses.replace(rc,
                                          max_samples=2 * self.sample_budget,

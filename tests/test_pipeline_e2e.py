@@ -32,7 +32,7 @@ OVERRIDES = [
     "scene.march_step=8.0e-3",
     "scene.occ_res=48",
     "scene.field.n_levels=6",
-    "scene.field.log2_table_size=12",
+    "scene.field.log2_bricks=9",   # default kind=brick (production encoding)
     "scene.field.base_res=4",
     "scene.field.per_level_scale=2.0",
     "scene.train_conf.raw_phase_iter_geo=50",
