@@ -66,6 +66,17 @@ class BrickGridConfig:
         # bricks per axis covering corner range [0, res]
         return self.level_res(level) // BRICK + 1
 
+    @classmethod
+    def sphere_field(cls, fine_res: int = 2048, n_levels: int = 16,
+                     log2_bricks: int = 13, base_res: int = 16):
+        """Brick counterpart of ``HashGridConfig.sphere_field`` (same level
+        ladder, Smoothstep interpolation; 2^13 rows x 64 corners = 2^19
+        corners, the hash variant's table size)."""
+        scale = float(np.exp(np.log(fine_res / base_res) / (n_levels - 1)))
+        return cls(n_levels=n_levels, n_features=2, log2_bricks=log2_bricks,
+                   base_res=base_res, per_level_scale=scale,
+                   interpolation="smoothstep")
+
 
 def init_brick_table(key: jax.Array, cfg: BrickGridConfig,
                      dtype=jnp.float32) -> jnp.ndarray:
@@ -252,6 +263,189 @@ def brick_encode(table: jnp.ndarray, x: jnp.ndarray,
             x[..., 0], x[..., 1], x[..., 2], smooth, cfg.bf16_table,
             cfg.n_features))
     return jnp.stack(outs, axis=-1)
+
+
+def brick_encode_stacked(table: jnp.ndarray, x: jnp.ndarray,
+                         cfg: BrickGridConfig) -> jnp.ndarray:
+    """Flat encode with ALL levels in ONE gather: x [..., 3] -> [..., L*F].
+
+    Same math as ``brick_encode``, different execution plan for the
+    small-batch regime: each gather op carries a measured ~4-5 ms fixed
+    cost, so 16 sequential per-level gathers of ~32k rows are overhead-
+    bound (the sphere-field distillation loops live here). Stacking the
+    level axis into the row index turns them into ONE L*N-row gather —
+    and, through the shared custom vjp, ONE scatter-add backward.
+    (The NeRF train path keeps per-level gathers: at millions of rows per
+    level the fixed cost is amortized and stacking measured slower.)
+    """
+    smooth = cfg.interpolation == "smoothstep"
+    shape = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    nb_rows = table.shape[1]
+    rows_l, locs_l, fracs_l = [], [], []
+    for lvl in range(cfg.n_levels):
+        res = cfg.level_res(lvl)
+        nb = cfg.level_bricks(lvl)
+        bx, lx, fx = _axis_split(xf[:, 0], res, smooth)
+        by, ly, fy = _axis_split(xf[:, 1], res, smooth)
+        bz, lz, fz = _axis_split(xf[:, 2], res, smooth)
+        rows_l.append(_brick_index(bx, by, bz, nb, nb_rows) + lvl * nb_rows)
+        locs_l.append((lx, ly, lz))
+        fracs_l.append((fx, fy, fz))
+    rows = jnp.stack(rows_l)                                  # [L, N]
+    locs = tuple(jnp.stack([locs_l[l][a] for l in range(cfg.n_levels)])
+                 for a in range(3))
+    fracs = tuple(jnp.stack([fracs_l[l][a] for l in range(cfg.n_levels)])
+                  for a in range(3))
+    flat_table = table.reshape(cfg.n_levels * nb_rows, table.shape[-1])
+    if cfg.bf16_table:
+        feats = corner_interp_lowp(cfg.n_features, flat_table, rows, locs,
+                                   fracs)
+    else:
+        feats = _interp_from_rows(flat_table[rows], locs, fracs,
+                                  cfg.n_features)
+    out = jnp.stack(feats, axis=-1)                           # [L, N, F]
+    out = out.transpose(1, 0, 2).reshape(
+        *shape, cfg.n_levels * cfg.n_features)
+    return out
+
+
+def _axis_dsel(a, loc):
+    """d(_axis_sel)/d(frac): -1 at loc, +1 at loc+1, 0 else."""
+    loc = loc[..., None]
+    return (a == loc + 1).astype(jnp.float32) - (a == loc).astype(jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def corner_interp_grad_lowp(nf: int, table_l, rows, locs, fracs):
+    """Interpolated features AND their in-cell frac-derivatives from ONE
+    row gather: -> (feats, gx, gy, gz), each a tuple of F arrays.
+
+    The derivative outputs make analytic field gradients (surface normals)
+    a FORWARD computation, so an outer ``jax.grad`` over a loss that uses
+    them stays first-order: the custom vjp scatters ONE combined cotangent
+    row per sample (feats cot + 3 derivative cots share the gather).
+
+    FIRST-ORDER ONLY, and the vjp w.r.t. ``fracs`` is declared ZERO — use
+    it where positions are not trained (the sphere-field distillations);
+    anything training positions must use ``corner_interp_lowp``.
+    """
+    vals = table_l.astype(jnp.bfloat16)[rows]
+    return _interp_and_grad_from_rows(vals, locs, fracs, nf)
+
+
+def _interp_and_grad_from_rows(row_vals, locs, fracs, nf: int):
+    width = row_vals.shape[-1]
+    ax, ay, az, af = _lane_axes(width, nf)
+    wx = _axis_sel(ax, locs[0], fracs[0])
+    wy = _axis_sel(ay, locs[1], fracs[1])
+    wz = _axis_sel(az, locs[2], fracs[2])
+    dx = _axis_dsel(ax, locs[0])
+    dy = _axis_dsel(ay, locs[1])
+    dz = _axis_dsel(az, locs[2])
+    v = row_vals.astype(jnp.float32)
+
+    def reduce(w):
+        return tuple(jnp.sum(v * ((af == f) * w), axis=-1)
+                     for f in range(nf))
+
+    return (reduce(wx * wy * wz), reduce(dx * wy * wz),
+            reduce(wx * dy * wz), reduce(wx * wy * dz))
+
+
+def _cig_fwd(nf, table_l, rows, locs, fracs):
+    return (corner_interp_grad_lowp(nf, table_l, rows, locs, fracs),
+            (table_l, rows, locs, fracs))
+
+
+def _cig_bwd(nf, res, g):
+    table_l, rows, locs, fracs = res
+    g_feats, g_gx, g_gy, g_gz = g
+    width = table_l.shape[-1]
+    ax, ay, az, af = _lane_axes(width, nf)
+    wx = _axis_sel(ax, locs[0], fracs[0])
+    wy = _axis_sel(ay, locs[1], fracs[1])
+    wz = _axis_sel(az, locs[2], fracs[2])
+    dx = _axis_dsel(ax, locs[0])
+    dy = _axis_dsel(ay, locs[1])
+    dz = _axis_dsel(az, locs[2])
+
+    def sel(gt):
+        if nf == 1:
+            return gt[0][..., None]
+        return sum((af == f) * gt[f][..., None] for f in range(nf))
+
+    cot = (wx * wy * wz * sel(g_feats) + dx * wy * wz * sel(g_gx)
+           + wx * dy * wz * sel(g_gy) + wx * wy * dz * sel(g_gz))
+    gt_table = jnp.zeros(table_l.shape, jnp.float32).at[rows].add(
+        cot.astype(jnp.bfloat16).astype(jnp.float32))
+    return gt_table, None, (None, None, None), (None, None, None)
+
+
+corner_interp_grad_lowp.defvjp(_cig_fwd, _cig_bwd)
+
+
+def brick_encode_stacked_grad(table: jnp.ndarray, x: jnp.ndarray,
+                              cfg: BrickGridConfig):
+    """Stacked-level encode with analytic position gradients:
+    x [..., 3] in [0,1] -> (feats [..., L*F], dfeats/dx [..., 3, L*F]).
+
+    One gather forward, one scatter backward (corner_interp_grad_lowp);
+    the chain through the per-level frac mapping (res scaling, smoothstep,
+    clip saturation) is applied here. First-order only; position
+    cotangents are ZERO by design (see corner_interp_grad_lowp).
+    """
+    smooth = cfg.interpolation == "smoothstep"
+    shape = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    nb_rows = table.shape[1]
+    rows_l, locs_l, fracs_l, chain_l = [], [], [], []
+    for lvl in range(cfg.n_levels):
+        res = cfg.level_res(lvl)
+        nb = cfg.level_bricks(lvl)
+        per_axis = []
+        chain = []
+        for a in range(3):
+            pos = jnp.clip(xf[:, a], 0.0, 1.0) * res
+            c0f = jnp.clip(jnp.floor(pos), 0, res - 1)
+            fr = pos - c0f
+            dfr = jnp.full_like(fr, float(res))
+            dfr = dfr * ((xf[:, a] > 0.0) & (xf[:, a] < 1.0))
+            if smooth:
+                dfr = dfr * 6.0 * fr * (1.0 - fr)
+                fr = fr * fr * (3.0 - 2.0 * fr)
+            c0 = c0f.astype(jnp.int32)
+            b = c0 // BRICK
+            per_axis.append((b, c0 - b * BRICK, fr))
+            chain.append(dfr)
+        (bx, lx, fx), (by, ly, fy), (bz, lz, fz) = per_axis
+        rows_l.append(_brick_index(bx, by, bz, nb, nb_rows) + lvl * nb_rows)
+        locs_l.append((lx, ly, lz))
+        fracs_l.append((fx, fy, fz))
+        chain_l.append(chain)
+    L = cfg.n_levels
+    rows = jnp.stack(rows_l)
+    locs = tuple(jnp.stack([locs_l[l][a] for l in range(L)])
+                 for a in range(3))
+    fracs = tuple(jnp.stack([fracs_l[l][a] for l in range(L)])
+                  for a in range(3))
+    chains = tuple(jnp.stack([chain_l[l][a] for l in range(L)])
+                   for a in range(3))
+    flat_table = table.reshape(L * nb_rows, table.shape[-1])
+    feats, gx, gy, gz = corner_interp_grad_lowp(cfg.n_features, flat_table,
+                                                rows, locs, fracs)
+
+    def pack(tup, chain=None):
+        arr = jnp.stack(tup, axis=-1)                         # [L, N, F]
+        if chain is not None:
+            arr = arr * chain[:, :, None]
+        return arr.transpose(1, 0, 2).reshape(
+            *shape, L * cfg.n_features)
+
+    out_feats = pack(feats)
+    grads = jnp.stack([pack(gx, chains[0]), pack(gy, chains[1]),
+                       pack(gz, chains[2])], axis=-2)         # [..., 3, L*F]
+    return out_feats, grads
 
 
 def brick_encode_numpy(table: np.ndarray, x: np.ndarray,

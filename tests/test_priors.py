@@ -117,3 +117,21 @@ def test_pano_geo_refiner_smooths_and_preserves():
     rel = np.abs(np.asarray(dist) - gt) / gt
     # short distillation budget: coarse agreement is the contract here
     assert np.median(rel) < 0.15, np.median(rel)
+
+
+def test_pano_geo_refiner_brick_fd_variant():
+    """The TPU-perf sphere-field variant (brick encoding + central-diff
+    direction gradients) meets the same distillation contract as the
+    reference-parity hash+autodiff path."""
+    h, w = 16, 32
+    pano = render_cube_room_pano(jnp.eye(4), h, w)
+    ref = PanoGeoRefiner(cfg=RefinerConfig(
+        n_iters=800, batch_size=1024, scan_chunk=100,
+        field=SphereFieldConfig(n_levels=6, log2_table_size=12, fine_res=128,
+                                weight_norm=True, output="raw",
+                                encoding="brick", grad_mode="fd")))
+    dist, normal = ref.refine(pano["distance"], pano["normal"])
+    gt = np.asarray(pano["distance"])
+    rel = np.abs(np.asarray(dist) - gt) / gt
+    assert np.median(rel) < 0.15, np.median(rel)
+    assert np.isfinite(np.asarray(normal)).all()
