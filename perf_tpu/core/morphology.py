@@ -1,8 +1,8 @@
 """Image morphology + small filters in pure jnp.
 
 Replaces the reference's kornia calls (laplacian edge masks in
-``sup_info.py:472-477`` / ``geo_utils.py:189-197``; ellipse-kernel
-erosion/dilation in ``nerf.py:345-358`` and ``sup_info.py:685-698``) with
+``sup_info.py:76-81`` / ``geo_utils.py:189-197``; ellipse-kernel
+erosion/dilation in ``nerf.py:345-358`` and ``sup_info.py:289-301``) with
 jit-compatible shift-and-reduce implementations. Flat structuring elements
 only — exactly what the reference uses.
 """
@@ -94,7 +94,7 @@ def edge_keep_mask(val: jnp.ndarray, threshold: float = 0.01) -> jnp.ndarray:
     """Mask of NON-edge pixels of a scalar map (1 = keep for supervision).
 
     Counterpart of the reference's depth-Laplacian edge filter
-    (``sup_info.py:472-477``): |laplacian| < thr, then 3x3 erosion and 3x3
+    (``sup_info.py:76-81``): |laplacian| < thr, then 3x3 erosion and 3x3
     dilation (morphological opening). val [H, W] or [H, W, 1]; returns bool of
     the same rank with trailing dim 1.
     """
@@ -113,7 +113,7 @@ def binary_open_close(mask: jnp.ndarray, small: int, large: int,
 
     The reference applies this to visibility masks (dilate 5, erode 9 —
     ``nerf.py:345-358``) and conflict masks (dilate 3, erode 9 —
-    ``sup_info.py:685-698``) to despeckle and shrink them conservatively.
+    ``sup_info.py:289-301``) to despeckle and shrink them conservatively.
     mask [H, W] float/bool in {0, 1} -> float [H, W].
     """
     m = mask.astype(jnp.float32)

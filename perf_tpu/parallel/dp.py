@@ -100,9 +100,14 @@ def build_dp_render(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
     power-of-two chunks).
     """
     keys = tuple(query_keys)
+    n_data = int(mesh.shape["data"])
 
     @jax.jit
     def render_chunk(params, occ_grid, o, d):
+        assert o.shape[0] % n_data == 0, (
+            f"render chunk of {o.shape[0]} rays does not divide over the "
+            f"'data' mesh axis ({n_data} devices); pad the chunk to a "
+            f"multiple (render_image's power-of-two chunks already do)")
         # NB: tree_map returns dicts in sorted-key order — index, never
         # unpack .values()
         sharded = shard_rays({"o": o, "d": d}, mesh)

@@ -40,7 +40,7 @@ def occ_grid_from_points(pts: jnp.ndarray, res: int = 256) -> jnp.ndarray:
 
     Marks each point's voxel and its 26 one-voxel-shifted neighbors
     (reference shifts by +-1/res in world space before quantizing,
-    ``sup_info.py:704-717`` — reproduced exactly so boundary voxels match).
+    ``sup_info.py:309-321`` — reproduced exactly so boundary voxels match).
     """
     shift = 1.0 / res
     offsets = jnp.asarray(

@@ -3,7 +3,7 @@
 The reference saves ``{scene, sup_pool, phase}`` but restores only
 ``scene`` + ``phase`` — the sup-pool state_dict has unformatted-key bugs and
 is silently dropped on resume (``core_exp_runner.py:217-221``,
-``sup_info.py:728-736``), so resumed training loses all inpainted panos'
+``sup_info.py:332-341``), so resumed training loses all inpainted panos'
 supervision. Here the FULL runner state round-trips.
 
 Format: a single .npz of flattened numeric leaves (nested keys joined by

@@ -5,7 +5,7 @@ SupInfoPool). Per registered pano we
 
 - filter supervision pixels: mask AND distance > 1e-5 AND non-edge (depth
   Laplacian opening) AND, when normals exist, normal·(-view dir) > 0.15
-  (``sup_info.py:469-482``),
+  (``sup_info.py:73-86``),
 - precompute flat rays / colors / distances / normals at the kept pixels.
 
 TPU-first storage: the concatenated pool arrays live as NumPy on the host
@@ -13,7 +13,7 @@ TPU-first storage: the concatenated pool arrays live as NumPy on the host
 PADDED to a power-of-two capacity, so the jitted train step never changes
 shape as the pool grows; the valid count rides along as a device scalar and
 samplers draw ``floor(u * n_valid)``. This fixes the reference's broken
-sup-pool serialization as a side effect (``sup_info.py:728-755`` saves
+sup-pool serialization as a side effect (``sup_info.py:332-347`` saves
 unformatted keys and never restores — our pool round-trips losslessly).
 """
 
@@ -177,7 +177,7 @@ class SupInfoPool:
 
     def gen_occ_grid(self, res: int = 256) -> jnp.ndarray:
         """Binary occupancy from all back-projected supervision points
-        (reference ``gen_occ_grid``, ``sup_info.py:700-726``)."""
+        (reference ``gen_occ_grid``, ``sup_info.py:304-330``)."""
         pts = jnp.asarray(self._cat["rays_o"]
                           + self._cat["rays_d"] * self._cat["distances"])
         return occ_grid_from_points(pts, res)
@@ -186,7 +186,7 @@ class SupInfoPool:
         """Cross-pano conflict mask: 1 OK, 0 conflict.
 
         A candidate point conflicts when EVERY registered pano sees it BEHIND
-        its own surface (reference ``geo_check``, ``sup_info.py:657-698``:
+        its own surface (reference ``geo_check``, ``sup_info.py:261-302``:
         per-pano OK bit is ``proj < new`` i.e. candidate farther than pano
         surface -> candidate is occluded there, clamped-min over panos, then
         3/9 ellipse open)."""
