@@ -17,15 +17,33 @@ from ..utils.synthetic import cube_room_hit
 from .interface import DepthPredictor, NormalPredictor
 
 
+# jitted cores (cached by shape): the joint predictor calls these once per
+# anchor on [60, 384, 384, 3] view stacks — eager jnp would pay a ~25 ms
+# tunneled dispatch per op on the axon backend
+@jax.jit
+def _fake_depth_core(origin, dirs, room):
+    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    t, _ = cube_room_hit(origin, d, room)
+    return jnp.maximum(t, 1e-4)
+
+
+@jax.jit
+def _fake_normal_core(origin, dirs, c2w, room):
+    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    _, n_world = cube_room_hit(origin, d, room)
+    n_cam = jnp.einsum("vij,vhwi->vhwj", c2w, n_world)
+    return n_cam * 0.5 + 0.5
+
+
 class FakeCubeRoomDepthPredictor(DepthPredictor):
     """Perfect (up to noise/scale) monocular DEPTH for the cube room.
 
-    Returns z-depth along the view axis is not needed — the reference's
-    consumers multiply by ``pers_ratios`` to turn z-depth into distance, so we
-    return distance / pers_ratio... to stay consistent we simply return
-    DISTANCE divided by the per-pixel ratio is the caller's job; here we
-    return distance along the ray direction and let callers treat it as
-    "depth" (the fake's per-view scale is arbitrary anyway — normalized out).
+    Returns distance along the ray direction rather than z-depth. The caller
+    (``PanoJointPredictor``) mean-normalizes each view's prediction and then
+    multiplies by ``pers_ratios`` (z-depth -> distance conversion), so the
+    fake's output differs from a true z-depth map only by a smooth per-pixel
+    factor that the fusion optimizer absorbs — and the per-view scale is
+    arbitrary anyway (normalized out).
     """
 
     def __init__(self, room: float = 0.8, noise: float = 0.0,
@@ -39,8 +57,7 @@ class FakeCubeRoomDepthPredictor(DepthPredictor):
         assert dirs is not None, "fake depth predictor needs view dirs"
         o = jnp.zeros_like(dirs) if origin is None else jnp.broadcast_to(
             origin, dirs.shape)
-        t, _ = cube_room_hit(o, dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                             self.room)
+        t = _fake_depth_core(o, dirs, jnp.float32(self.room))
         if self.scale_jitter:
             s = self._rng.uniform(1.0 - self.scale_jitter, 1.0 + self.scale_jitter,
                                   (dirs.shape[0], 1, 1, 1)).astype(np.float32)
@@ -66,12 +83,14 @@ class FakeCubeRoomNormalPredictor(NormalPredictor):
             "fake normal predictor needs view dirs + c2w"
         o = jnp.zeros_like(dirs) if origin is None else jnp.broadcast_to(
             origin, dirs.shape)
-        d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        _, n_world = cube_room_hit(o, d, self.room)
-        # world -> camera: n_cam = c2w^T n_world (per view)
-        n_cam = jnp.einsum("vij,vhwi->vhwj", jnp.asarray(c2w), n_world)
+        # world -> camera (n_cam = c2w^T n_world per view) happens inside
+        # the jitted core
+        out = _fake_normal_core(o, dirs, jnp.asarray(c2w),
+                                jnp.float32(self.room))
         if self.noise:
+            n_cam = out * 2.0 - 1.0
             n_cam = n_cam + self.noise * jnp.asarray(
                 self._rng.normal(size=n_cam.shape).astype(np.float32))
             n_cam = n_cam / jnp.linalg.norm(n_cam, axis=-1, keepdims=True)
-        return n_cam * 0.5 + 0.5
+            out = n_cam * 0.5 + 0.5
+        return out

@@ -38,6 +38,7 @@ from ..fields.sphere_field import (
     sphere_field_distance_and_grad, grads_to_normal,
 )
 from ..train.schedule import smooth_l1
+from ..utils.metrics import phase_timer
 from .interface import DepthPredictor, NormalPredictor
 
 
@@ -75,20 +76,36 @@ class JointPredictorConfig:
     init_lr_local: float = 1e-1  # local bias maps
     lr_alpha: float = 1e-2
     normal_bias_res: int = 128
-    scan_chunk: int = 100
-    field: SphereFieldConfig = SphereFieldConfig(fine_res=2048)
+    # 1 = per-step dispatch (TPU production: lax.scan around heavy steps
+    # measured ~4-5x slower on this backend — BASELINE.md); >1 = scan chunks
+    # (CPU tests, where scan wins).
+    scan_chunk: int = 1
+    # TPU flagship: brick-packed sphere field with analytic first-order
+    # gradients (ONE row gather fwd + ONE scatter bwd per step instead of
+    # the hash layout's 8 narrow gathers/level and second-order AD chain).
+    # Reference-parity variant: SphereFieldConfig(fine_res=2048)
+    # (hash + 'ad'), selectable via priors.joint.{encoding,grad_mode}.
+    field: SphereFieldConfig = SphereFieldConfig(
+        fine_res=2048, encoding="brick", grad_mode="analytic")
 
 
 class PanoJointPredictor:
     def __init__(self, depth_predictor: DepthPredictor,
                  normal_predictor: NormalPredictor,
                  cfg: JointPredictorConfig = JointPredictorConfig(),
-                 seed: int = 0):
+                 seed: int = 0, writer=None):
         self.depth = depth_predictor
         self.normal = normal_predictor
         self.cfg = cfg
+        self.writer = writer
         self._np_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
+        # jitted programs cached ACROSS __call__s: the runner invokes the
+        # predictor once per anchor (24x at flagship) with identical shapes,
+        # so per-call closures would recompile the distillation step every
+        # anchor (remote compiles are minutes here). Keyed by input shapes;
+        # per-call arrays flow as arguments, not captures.
+        self._jit_cache: dict = {}
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -133,16 +150,19 @@ class PanoJointPredictor:
         n_views = views.shape[0]
 
         # batched priors (fakes get geometry; real nets ignore it)
-        pred_depth = self.depth.predict_depth(views, dirs=dirs)          # [V,r,r,1]
-        pred_depth = jnp.clip(pred_depth, 0.0, None)
-        pred_depth = pred_depth / (jnp.mean(pred_depth, axis=(1, 2, 3),
-                                            keepdims=True) + 1e-5)
-        pred_dist = (pred_depth * pers_ratios)[..., 0]                   # [V,r,r]
+        with phase_timer(self.writer, "joint_priors", n_items=n_views,
+                         item_name="views"):
+            pred_depth = self.depth.predict_depth(views, dirs=dirs)      # [V,r,r,1]
+            pred_depth = jnp.clip(pred_depth, 0.0, None)
+            pred_depth = pred_depth / (jnp.mean(pred_depth, axis=(1, 2, 3),
+                                                keepdims=True) + 1e-5)
+            pred_dist = (pred_depth * pers_ratios)[..., 0]               # [V,r,r]
 
-        pred_n = self.normal.predict_normal(views, dirs=dirs, c2w=c2w)
-        pred_n = pred_n * 2.0 - 1.0
-        pred_n = pred_n / jnp.linalg.norm(pred_n, axis=-1, keepdims=True)
-        pred_n = jnp.einsum("vij,vhwj->vhwi", c2w, pred_n)               # world
+            pred_n = self.normal.predict_normal(views, dirs=dirs, c2w=c2w)
+            pred_n = pred_n * 2.0 - 1.0
+            pred_n = pred_n / jnp.linalg.norm(pred_n, axis=-1, keepdims=True)
+            pred_n = jnp.einsum("vij,vhwj->vhwi", c2w, pred_n)           # world
+            float(jnp.sum(pred_n[0, 0, 0]))                              # D2H sync
 
         params = {
             "scale": jnp.zeros((n_views,)),
@@ -159,10 +179,71 @@ class PanoJointPredictor:
                                 "bias_ln": params["bias_ln"]}),
         }
 
+        data = {"dirs": dirs, "pred_dist": pred_dist, "pred_n": pred_n,
+                "ref_distance": ref_distance, "mask": mask}
+        wts = jnp.asarray([reg_loss_weight, normal_loss_weight,
+                           normal_tv_loss_weight], jnp.float32)
+        run_chunk = self._get_distill_fn((n_views, h, w))
+
+        key = self._next_key()
+        n_iters = cfg.iters_per_phase
+        assert n_iters % cfg.scan_chunk == 0
+        losses = []
+        for phase_i, hybrid in enumerate((False, True)):
+            with phase_timer(self.writer, f"joint_distill_p{phase_i + 1}",
+                             n_items=n_iters, item_name="iters"):
+                for c in range(n_iters // cfg.scan_chunk):
+                    i0 = jnp.asarray(phase_i * n_iters + c * cfg.scan_chunk,
+                                     jnp.float32)
+                    (params, opt_state, key), ls = run_chunk(
+                        data, wts, params, opt_state, key, i0, hybrid=hybrid)
+                    losses.append(ls)
+                # force a scalar D2H readback: on the tunneled axon backend
+                # block_until_ready can return before execution completes
+                float(losses[-1][-1])
+
+        # full-res readback
+        with phase_timer(self.writer, "joint_readback", n_items=h * w,
+                         item_name="px"):
+            pano_dirs = img_coord_to_pano_direction(img_coord_from_hw(h, w))
+            flat = pano_dirs.reshape(-1, 3)
+            dists, grads = [], []
+            chunk = 1 << 16
+            n_pad = (-flat.shape[0]) % chunk
+            flat_p = jnp.concatenate(
+                [flat, jnp.ones((n_pad, 3)) / np.sqrt(3.0)], 0)
+            qfn = self._jit_cache.get("qfn")
+            if qfn is None:
+                qfn = jax.jit(lambda p, d: sphere_field_distance_and_grad(
+                    p, d, cfg.field))
+                self._jit_cache["qfn"] = qfn
+            for s in range(0, flat_p.shape[0], chunk):
+                dd, gg = qfn(params["sp"], flat_p[s:s + chunk])
+                dists.append(dd)
+                grads.append(gg)
+            dist = jnp.concatenate(dists)[: h * w].reshape(h, w, 1)
+            grad = jnp.concatenate(grads)[: h * w].reshape(h, w, 3)
+            normal = grads_to_normal(pano_dirs, grad, self._next_key())
+            float(dist[0, 0, 0])                                         # D2H sync
+        return dist, normal
+
+    # -- cached distillation program ----------------------------------------
+
+    def _get_distill_fn(self, shapes_key):
+        """Build (once per input-shape signature) the jitted distillation
+        step. Per-anchor arrays (``data``) and loss weights (``wts`` =
+        [reg, normal, normal_tv]) are ARGUMENTS so 24 anchor calls share one
+        compiled program."""
+        cache_key = ("distill", shapes_key)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+        cfg = self.cfg
+        adam = optax.scale_by_adam(eps=1e-8)
         sample_view = jax.vmap(lambda im, c: bilinear_sample(im, c, "border"))
 
-        def step(hybrid: bool, carry, i):
+        def step(hybrid: bool, data, wts, carry, i):
             params, opt_state, key = carry
+            n_views = data["dirs"].shape[0]
             key, k_coord, k_ortho = jax.random.split(key, 3)
             progress = i / (2.0 * cfg.iters_per_phase)   # spans both phases
             lr_ratio = ((jnp.cos(progress * jnp.pi) + 1.0)
@@ -172,11 +253,12 @@ class PanoJointPredictor:
                                         (n_views, cfg.local_batch, 2))
 
             def loss_fn(p):
-                cur_dirs = sample_view(dirs, coords)                  # [V,B,3]
+                cur_dirs = sample_view(data["dirs"], coords)          # [V,B,3]
                 cur_dirs = cur_dirs / jnp.linalg.norm(cur_dirs, axis=-1,
                                                       keepdims=True)
-                cur_dist = sample_view(pred_dist[..., None], coords)[..., 0]
-                cur_norm = sample_view(pred_n, coords)
+                cur_dist = sample_view(data["pred_dist"][..., None],
+                                       coords)[..., 0]
+                cur_norm = sample_view(data["pred_n"], coords)
                 d_bias = sample_view(p["bias_ld"][..., None], coords)[..., 0]
                 n_bias = sample_view(p["bias_ln"], coords)
 
@@ -211,18 +293,19 @@ class PanoJointPredictor:
 
                 # anchor to known reference distance where mask==0
                 pano_coords = direction_to_img_coord(flat_dirs)
-                s_ref = bilinear_sample(ref_distance, pano_coords)[..., 0]
-                s_mask = bilinear_sample(mask, pano_coords)[..., 0]
+                s_ref = bilinear_sample(data["ref_distance"],
+                                        pano_coords)[..., 0]
+                s_mask = bilinear_sample(data["mask"], pano_coords)[..., 0]
                 ref_loss = jnp.mean(
                     smooth_l1_none(s_ref, pd.reshape(-1), beta=1e-2)
                     * (s_mask < 0.5))
 
                 loss = (ref_loss * 20.0 * progress
                         + distance_loss
-                        + reg_loss * reg_loss_weight
-                        + normal_loss * normal_loss_weight
+                        + reg_loss * wts[0]
+                        + normal_loss * wts[1]
                         + tv_d * 1.0
-                        + tv_n * normal_tv_loss_weight)
+                        + tv_n * wts[2])
                 return loss, (distance_loss, normal_loss)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -245,39 +328,23 @@ class PanoJointPredictor:
                 ostate["local"] = st_l
             return (new, ostate, key), loss
 
-        @partial(jax.jit, static_argnames=("hybrid",))
-        def run_chunk(params, opt_state, key, i0, hybrid):
-            def body(carry, j):
-                return step(hybrid, carry, i0 + j)
-            return jax.lax.scan(body, (params, opt_state, key),
-                                jnp.arange(cfg.scan_chunk, dtype=jnp.float32))
+        if cfg.scan_chunk == 1:
+            # per-step dispatch: lax.scan around heavy optimizer steps
+            # measured ~4-5x slower on this TPU backend (BASELINE.md); the
+            # ~25 ms dispatch round-trip is the cheaper overhead
+            @partial(jax.jit, static_argnames=("hybrid",))
+            def run_chunk(data, wts, params, opt_state, key, i0, hybrid):
+                carry, loss = step(hybrid, data, wts,
+                                   (params, opt_state, key), i0)
+                return carry, loss[None]
+        else:
+            @partial(jax.jit, static_argnames=("hybrid",))
+            def run_chunk(data, wts, params, opt_state, key, i0, hybrid):
+                def body(carry, j):
+                    return step(hybrid, data, wts, carry, i0 + j)
+                return jax.lax.scan(body, (params, opt_state, key),
+                                    jnp.arange(cfg.scan_chunk,
+                                               dtype=jnp.float32))
 
-        key = self._next_key()
-        n_iters = cfg.iters_per_phase
-        assert n_iters % cfg.scan_chunk == 0
-        losses = []
-        for phase_i, hybrid in enumerate((False, True)):
-            for c in range(n_iters // cfg.scan_chunk):
-                i0 = jnp.asarray(phase_i * n_iters + c * cfg.scan_chunk,
-                                 jnp.float32)
-                (params, opt_state, key), ls = run_chunk(
-                    params, opt_state, key, i0, hybrid=hybrid)
-                losses.append(ls)
-
-        # full-res readback
-        pano_dirs = img_coord_to_pano_direction(img_coord_from_hw(h, w))
-        flat = pano_dirs.reshape(-1, 3)
-        dists, grads = [], []
-        chunk = 1 << 16
-        n_pad = (-flat.shape[0]) % chunk
-        flat_p = jnp.concatenate(
-            [flat, jnp.ones((n_pad, 3)) / np.sqrt(3.0)], 0)
-        qfn = jax.jit(lambda p, d: sphere_field_distance_and_grad(p, d, cfg.field))
-        for s in range(0, flat_p.shape[0], chunk):
-            dd, gg = qfn(params["sp"], flat_p[s:s + chunk])
-            dists.append(dd)
-            grads.append(gg)
-        dist = jnp.concatenate(dists)[: h * w].reshape(h, w, 1)
-        grad = jnp.concatenate(grads)[: h * w].reshape(h, w, 3)
-        normal = grads_to_normal(pano_dirs, grad, self._next_key())
-        return dist, normal
+        self._jit_cache[cache_key] = run_chunk
+        return run_chunk
