@@ -18,6 +18,7 @@ Deviations (all improvements, documented):
 from __future__ import annotations
 
 import os
+import time
 from os.path import join as pjoin
 
 import jax
@@ -40,7 +41,7 @@ from ..priors import (
     FakeCubeRoomDepthPredictor, FakeCubeRoomNormalPredictor,
 )
 from ..utils.io import write_image, write_video, colorize_single_channel_image
-from ..utils.metrics import MetricsWriter
+from ..utils.metrics import MetricsWriter, phase_timer
 
 
 def build_prior_backends(conf: Config):
@@ -94,6 +95,8 @@ def _train_config(tc: Config) -> TrainConfig:
         density_loss_weight=tc.get("density_loss_weight", 0.0),
         geo_optimizer=optim(tc["geo_optimizer"]),
         app_optimizer=optim(tc["app_optimizer"]),
+        **({"prop_optimizer": optim(tc["prop_optimizer"])}
+           if "prop_optimizer" in tc else {}),
         scan_chunk=tc.get("scan_chunk", 1),
         ignore_near=tc.get("ignore_near", True),
         cross_depth_check=tc.get("cross_depth_check", True),
@@ -126,8 +129,8 @@ class CoreRunner:
 
         # scene
         sc = conf["scene"]
-        assert sc.get("estimator_type", "occ") == "occ", \
-            "prop estimator: not implemented (broken in the reference too)"
+        estimator_type = sc.get("estimator_type", "occ")
+        assert estimator_type in ("occ", "prop"), estimator_type
         rc = sc.get("renderer_conf", {})
         fc = conf.get_path("scene.field", {}) or {}
         kind = fc.get("kind", "hash")
@@ -162,9 +165,25 @@ class CoreRunner:
         else:
             self.field_cfg = NGPFieldConfig()
         writer = MetricsWriter(pjoin(self.exp_dir, "ts_log"))
-        self.scene = NeRFScene(self.field_cfg, self.render_cfg,
-                               _train_config(sc["train_conf"]),
-                               self._next_key(), writer=writer)
+        self.writer = writer
+        # the predictor is constructed before the exp dir exists (the
+        # dataset bootstrap needs it); attach the writer now so the anchor
+        # cycle's distill/readback phase timers are recorded
+        self.geo_predictor.writer = writer
+        if estimator_type == "prop":
+            # proposal-cascade estimator (reference nerf.py:42-66; its CUDA
+            # renderer is broken — see train/prop_scene.py)
+            from ..render.prop import PropRenderConfig
+            from ..train.prop_scene import PropNeRFScene
+            self.scene = PropNeRFScene(
+                self.field_cfg,
+                PropRenderConfig(bg_color=rc.get("bg_color", "rand_noise")),
+                _train_config(sc["train_conf"]), self._next_key(),
+                writer=writer)
+        else:
+            self.scene = NeRFScene(self.field_cfg, self.render_cfg,
+                                   _train_config(sc["train_conf"]),
+                                   self._next_key(), writer=writer)
 
         # startup vis (reference core_exp_runner.py:67-72)
         write_image(pjoin(self.exp_dir, "distance_vis.png"),
@@ -201,13 +220,24 @@ class CoreRunner:
         return k
 
     def _joint_cfg(self) -> JointPredictorConfig:
+        import dataclasses as _dc
         over = self.conf.get_path("priors.joint", {}) or {}
         kw = {k: over[k] for k in
               ("gen_res", "local_batch", "iters_per_phase", "scan_chunk")
               if k in over}
         if "ratios" in over:
             kw["ratios"] = tuple(over["ratios"])
-        return JointPredictorConfig(**kw)
+        cfg = JointPredictorConfig(**kw)
+        # sphere-field overrides (priors.joint.field.*): encoding/grad_mode
+        # select the TPU-flagship (brick+analytic, default) vs the
+        # reference-parity (hash+ad) distillation path
+        fld = over.get("field", {}) or {}
+        fkw = {k: fld[k] for k in
+               ("n_levels", "log2_table_size", "fine_res", "encoding",
+                "grad_mode") if k in fld}
+        if fkw:
+            cfg = _dc.replace(cfg, field=_dc.replace(cfg.field, **fkw))
+        return cfg
 
     def execute(self, mode: str):
         if mode == "train":
@@ -223,8 +253,9 @@ class CoreRunner:
         h, w = self.dataset.height, self.dataset.width
         if self.phase < 0:
             self.scene.fit(self.sup_pool)
-            out = self.scene.render(gen_pano_rays(jnp.eye(4), 512, 1024),
-                                    query_keys=("rgb", "distance"))
+            out = self.scene.render_snapshot(
+                gen_pano_rays(jnp.eye(4), 512, 1024),
+                query_keys=("rgb", "distance"))
             write_image(pjoin(self.exp_dir, "1.png"), np.asarray(out["rgb"]))
             disp = (float(jnp.min(out["distance"]))
                     / np.asarray(out["distance"])).squeeze()
@@ -238,20 +269,35 @@ class CoreRunner:
         for anchor_idx in range(self.pose_sampler.n_anchors):
             if anchor_idx < self.phase:
                 continue
+            anchor_t0 = time.perf_counter()
             pose = jnp.asarray(self.pose_sampler.sample_pose(anchor_idx))
             rays = gen_pano_rays(pose, h, w)
 
-            visi_mask = self.scene.get_pano_visibility_mask(self.sup_pool, rays)
-            out = self.scene.render(rays, query_keys=("rgb", "distance"))
-            colors, distances = out["rgb"], out["distance"]
+            # both the visibility mask and the anchor RGB-D render go
+            # through the baked snapshot (bakes lazily after the preceding
+            # fit): ~12x faster than the field eval path AND higher-PSNR
+            # (flagship ablation, BASELINE.md). Reference renders these
+            # through the live field (nerf.py:321-358, core_exp_runner.py:139)
+            # because CUDA tcnn queries are L2-cheap; on TPU they are
+            # gather-row-bound.
+            with phase_timer(self.writer, "anchor_visibility", anchor_idx):
+                visi_mask = self.scene.get_pano_visibility_mask(
+                    self.sup_pool, rays)
+                float(visi_mask.min())      # D2H sync for truthful timing
+            with phase_timer(self.writer, "anchor_render", anchor_idx):
+                out = self.scene.render_snapshot(
+                    rays, query_keys=("rgb", "distance"))
+                colors, distances = out["rgb"], out["distance"]
+                float(distances.max())
             inpaint_mask = 1.0 - visi_mask
 
             normals = None
             if float(visi_mask.min()) <= 0.5:
                 colors, distances, normals = self.inpaint_new_panorama(
                     0, anchor_idx, colors, distances, inpaint_mask)
-                conflict = 1.0 - self.sup_pool.geo_check(rays, distances)
-                inpaint_mask = inpaint_mask * conflict
+                with phase_timer(self.writer, "anchor_geo_check", anchor_idx):
+                    conflict = 1.0 - self.sup_pool.geo_check(rays, distances)
+                    inpaint_mask = inpaint_mask * conflict
 
             distances = jnp.asarray(distances).reshape(h, w, 1)
             # never supervise content that came out too close (reference
@@ -273,10 +319,15 @@ class CoreRunner:
                 pose=np.asarray(pose), mask=np.asarray(sup_mask),
                 rgb=np.asarray(colors), distance=np.asarray(distances),
                 normal=np.asarray(normals) if normals is not None else None)
-            self.scene.fit(self.sup_pool)
+            with phase_timer(self.writer, "anchor_refit", anchor_idx):
+                self.scene.fit(self.sup_pool)
 
             self.phase += 1
             self.save_checkpoint()
+            dt = time.perf_counter() - anchor_t0
+            self.writer.add_scalar("time/anchor_total_sec", dt, anchor_idx)
+            self.writer.flush()
+            print(f"[perf_tpu] anchor {anchor_idx}: {dt:.1f} s")
 
     def inpaint_new_panorama(self, sub_i: int, anchor_idx: int,
                              colors, distances, mask):
@@ -297,13 +348,15 @@ class CoreRunner:
                         np.asarray(inpainted))
             return inpainted, new_dist, None
 
-        inpainted = self.inpainter.inpaint(colors, mask)
+        with phase_timer(self.writer, "anchor_inpaint", anchor_idx):
+            inpainted = self.inpainter.inpaint(colors, mask)
         write_image(pjoin(vis_dir, f"inpainted_{sub_i}.jpg"), np.asarray(inpainted))
 
-        new_dist, new_normal = self.geo_predictor(
-            inpainted, distances, mask,
-            reg_loss_weight=0.0, normal_loss_weight=5e-2,
-            normal_tv_loss_weight=5e-2)
+        with phase_timer(self.writer, "anchor_geometry", anchor_idx):
+            new_dist, new_normal = self.geo_predictor(
+                inpainted, distances, mask,
+                reg_loss_weight=0.0, normal_loss_weight=5e-2,
+                normal_tv_loss_weight=5e-2)
         write_image(pjoin(vis_dir, f"aligned_disparity_{sub_i}.jpg"),
                     colorize_single_channel_image(
                         float(jnp.min(new_dist)) / np.asarray(new_dist)))

@@ -36,6 +36,7 @@ class PropRenderConfig:
     n_samples: int = 64
     n_samples_per_prop: tuple = (128, 64)
     bg_color: str = "rand_noise"
+    eval_bg_distance: float = 5.0
 
 
 def _sample_from_weights(key, t_edges, weights, n_new, stratified):
@@ -117,15 +118,22 @@ def render_rays_prop(params: dict, prop_params: list,
     colors = jnp.stack([jnp.sum(weights * c, -1) for c in (r, g, b)], -1)
     distance = jnp.sum(weights * mids, -1, keepdims=True)
 
-    if cfg.bg_color == "rand_noise":
+    # background compositing mirrors the occ renderer's train/eval split
+    # (renderer.py): random color/distance fill only while training, a
+    # deterministic far fill at eval so masks and tests are reproducible
+    if cfg.bg_color == "rand_noise" and train:
         bg = jax.random.uniform(k_bg, (n, 3))
     elif cfg.bg_color == "white":
         bg = jnp.ones((n, 3))
     else:
         bg = jnp.zeros((n, 3))
-    colors = colors + bg * (1.0 - opacity)
-    distance = distance + jax.random.uniform(
-        jax.random.fold_in(k_bg, 1), distance.shape) * (1.0 - opacity)
+    rest = 1.0 - opacity
+    colors = colors + bg * rest
+    if train:
+        distance = distance + jax.random.uniform(
+            jax.random.fold_in(k_bg, 1), distance.shape) * rest
+    else:
+        distance = distance + cfg.eval_bg_distance * rest
 
     return {"rgb": colors, "distance": distance, "opacity": opacity,
             "weights": weights, "t_edges": edges, "prop_aux": aux}

@@ -62,6 +62,10 @@ class TrainConfig:
     density_loss_weight: float = 0.0
     geo_optimizer: OptimConfig = OptimConfig()
     app_optimizer: OptimConfig = OptimConfig()
+    # proposal-field schedule (prop estimator only; reference
+    # ``configs/nerf.yaml:50-54``)
+    prop_optimizer: OptimConfig = OptimConfig(
+        init_lr=1e-4, peak_lr=1e-3, peak_at=0.1, lr_alpha=0.1)
     scan_chunk: int = 1   # >1 only pays on CPU (tests); scan is ~4x slower on TPU
     # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
     # DEAD by parity: the reference declares these in every config
@@ -73,6 +77,27 @@ class TrainConfig:
 
 def _adam():
     return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def pano_visibility_from_distance(sup_pool: SupInfoPool, rays: Rays,
+                                  distance: jnp.ndarray) -> jnp.ndarray:
+    """Shared core of ``get_pano_visibility_mask`` (``nerf.py:321-358``):
+    given the rendered surface distance, 1 where some registered pano already
+    sees the surface, 0 where it is new content, then 5/9 ellipse open."""
+    pts = rays.o + rays.d * distance
+    h, w = pts.shape[:2]
+    mask = jnp.zeros((h, w, 1))
+    for info in sup_pool.sup_infos:
+        sup_dmap = jnp.asarray(info.distance_map * info.mask)
+        rel = pts - jnp.asarray(info.pose[:3, 3])
+        local = apply_rot(rel, jnp.asarray(info.pose[:3, :3].T))
+        new_d = jnp.linalg.norm(local, axis=-1, keepdims=True)
+        coords = direction_to_img_coord(local / new_d)
+        proj_d = bilinear_sample(sup_dmap, coords, padding="border")
+        visible = (new_d < proj_d + 1.0 / 256.0).astype(jnp.float32)
+        mask = jnp.maximum(mask, visible)
+    return binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
+                             small=5, large=9)
 
 
 class Scene:
@@ -145,8 +170,15 @@ class NeRFScene(Scene):
         which cuts encode rows (the dominant train cost) by the same factor.
         """
         rc = self.render_cfg
-        n = min(probe_rays, int(arrs["rays_o"].shape[0]))
-        o, d = arrs["rays_o"][:n], arrs["rays_d"][:n]
+        # Probe a UNIFORM subsample of the whole pool: the pool is
+        # concatenated per-anchor in row-major pixel order, so a head slice
+        # would only see the first pano's top rows (ceiling/sky — few
+        # occupied windows) and under-estimate wall-grazing rays from later
+        # anchors beyond the +1-window slack.
+        n_valid = int(arrs["n_valid"])
+        n = min(probe_rays, n_valid)
+        idx = np.linspace(0, n_valid - 1, n).astype(np.int32)
+        o, d = arrs["rays_o"][idx], arrs["rays_d"][idx]
         counts = jax.jit(count_occupied_windows, static_argnums=3)(
             self.occ_grid, o, d, rc)
         worst = int(jnp.max(counts)) + 1
@@ -343,11 +375,20 @@ class NeRFScene(Scene):
                 # per-chunk budgets usually stay near 2x the train budget,
                 # but they are only capped at max_samples — so a grown
                 # chunk whose local budget hits the cap would materialize
-                # chunk*max_samples gather rows (measured OOM at 65536x256
-                # on a 16 GB chip). Grow the chunk for dispatch efficiency
-                # but never past 32768 rays.
+                # chunk*max_samples gather rows, past the verified-safe
+                # footprint (brick fields measured OOM at 32768x256 on a
+                # 16 GB chip; the runner's 8192x256 is the verified-safe
+                # ceiling). Grow the chunk for dispatch efficiency but cap
+                # the grown chunk's per-chunk budget so chunk*budget never
+                # exceeds the ungrown config's footprint. The cap is >=
+                # 2*sample_budget by construction, so quality never drops
+                # below the non-adaptive branch's.
+                grown = min(rc.eval_chunk * scale, 32768)
+                cap = max(rc.eval_chunk * rc.max_samples // grown,
+                          2 * self.sample_budget)
                 rc = dataclasses.replace(
-                    rc, eval_chunk=min(rc.eval_chunk * scale, 32768))
+                    rc, eval_chunk=grown,
+                    max_samples=min(rc.max_samples, cap))
             else:
                 rc = dataclasses.replace(rc,
                                          max_samples=2 * self.sample_budget,
@@ -358,24 +399,22 @@ class NeRFScene(Scene):
                             chunk=chunk or rc.eval_chunk)
 
     def get_pano_visibility_mask(self, sup_pool: SupInfoPool,
-                                 rays: Rays) -> jnp.ndarray:
+                                 rays: Rays,
+                                 use_snapshot: bool = True) -> jnp.ndarray:
         """1 where the rendered surface is already seen by some registered
-        pano, 0 where it is new content (``nerf.py:321-358``)."""
-        distance = self.render(rays, query_keys=("distance",))["distance"]
-        pts = rays.o + rays.d * distance
-        h, w = pts.shape[:2]
-        mask = jnp.zeros((h, w, 1))
-        for info in sup_pool.sup_infos:
-            sup_dmap = jnp.asarray(info.distance_map * info.mask)
-            rel = pts - jnp.asarray(info.pose[:3, 3])
-            local = apply_rot(rel, jnp.asarray(info.pose[:3, :3].T))
-            new_d = jnp.linalg.norm(local, axis=-1, keepdims=True)
-            coords = direction_to_img_coord(local / new_d)
-            proj_d = bilinear_sample(sup_dmap, coords, padding="border")
-            visible = (new_d < proj_d + 1.0 / 256.0).astype(jnp.float32)
-            mask = jnp.maximum(mask, visible)
-        return binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
-                                 small=5, large=9)
+        pano, 0 where it is new content (``nerf.py:321-358``).
+
+        The surface distance is rendered through the baked snapshot by
+        default: it is both ~12x faster and MORE accurate than the field
+        eval path (flagship ablation, BASELINE.md — snapshot depth MAE 0.011
+        vs 0.019), and the bake amortizes over the anchor cycle's other
+        renders. ``use_snapshot=False`` restores the field path."""
+        if use_snapshot:
+            distance = self.render_snapshot(
+                rays, query_keys=("distance",))["distance"]
+        else:
+            distance = self.render(rays, query_keys=("distance",))["distance"]
+        return pano_visibility_from_distance(sup_pool, rays, distance)
 
     # -- state -----------------------------------------------------------------
 
@@ -391,6 +430,7 @@ class NeRFScene(Scene):
     def load_state_dict(self, state: dict):
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         self.occ_grid = jnp.asarray(state["occ_grid"])
+        self.snapshot = None   # loaded field -> any existing bake is stale
         self.global_iter_geo = int(state["global_iter_geo"])
         self.global_iter_app = int(state["global_iter_app"])
         self.sample_budget = int(state.get("sample_budget", 0)) or None

@@ -107,3 +107,29 @@ def test_snapshot_perspective_render():
     # not the 5.0 background fill and not degenerate zero (tiny-fit depth
     # error is ~0.05, so the bound is loose)
     assert 0.6 < dist[32, 32] < 1.1, dist[32, 32]
+
+
+def test_visibility_mask_snapshot_parity():
+    """get_pano_visibility_mask now routes the surface render through the
+    snapshot (round-3: the anchor cycle's masks+renders use the bake);
+    it must agree with the field path almost everywhere."""
+    pool, pano = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+    scene.bake_snapshot(SnapshotConfig(res=192, sample_stride=4,
+                                       max_samples=64))
+
+    # a displaced anchor pose inside the room
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0.2, 0.1, 0.0)
+    rays = gen_pano_rays(jnp.asarray(pose), 32, 64)
+    m_snap = np.asarray(scene.get_pano_visibility_mask(pool, rays))
+    m_field = np.asarray(scene.get_pano_visibility_mask(
+        pool, rays, use_snapshot=False))
+    assert m_snap.shape == m_field.shape
+    agree = (m_snap == m_field).mean()
+    assert agree > 0.95, agree
+    # the input pose itself is fully visible from the registered pano
+    rays0 = gen_pano_rays(jnp.eye(4), 32, 64)
+    m0 = np.asarray(scene.get_pano_visibility_mask(pool, rays0))
+    assert m0.mean() > 0.98, m0.mean()
