@@ -34,12 +34,64 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(dev_array, ("data", "model"))
 
 
+def make_multihost_mesh(n_scene: int, n_model: int = 1,
+                        coordinator: str | None = None,
+                        num_processes: int | None = None,
+                        process_id: int | None = None,
+                        devices=None) -> Mesh:
+    """('scene', 'data', 'model') mesh spanning hosts for the multi-scene
+    batch config (BASELINE.md cfg 5; SURVEY §2.4 plan).
+
+    Axis layout follows the ICI/DCN split rule: the OUTER 'scene' axis maps
+    across hosts (scenes are independent — the only cross-scene traffic is
+    metric reduction, cheap enough for DCN), while 'data'/'model' stay inside
+    a host so ray-gradient psums and table all-gathers ride ICI. With
+    ``jax.distributed``, ``jax.devices()`` orders devices process-major, so
+    reshaping (scene, data, model) with scene as the slowest axis puts whole
+    hosts on single scene slices whenever n_scene divides the host count.
+
+    When ``coordinator`` is given, initializes ``jax.distributed`` (each
+    process contributes its local devices; jax.devices() then spans hosts).
+    Single-process (tests, one host): pass ``devices`` explicitly or rely on
+    the current backend — the topology logic is identical, with virtual CPU
+    devices standing in for remote hosts.
+    """
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    n_data = n_total // (n_scene * n_model)
+    assert n_scene * n_data * n_model == n_total, (
+        f"{n_total} devices don't factor into scene={n_scene} x "
+        f"data={n_data} x model={n_model}")
+    dev_array = np.asarray(devices).reshape(n_scene, n_data, n_model)
+    return Mesh(dev_array, ("scene", "data", "model"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def scene_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a leading scene axis: over 'scene' on a multi-host mesh,
+    else over 'data' (single-host multi-scene layout)."""
+    axis = "scene" if "scene" in mesh.axis_names else "data"
+    return NamedSharding(mesh, P(axis))
+
+
+def scene_ray_sharding(mesh: Mesh) -> NamedSharding:
+    """[n_scenes, rays, ...] arrays: scene axis across hosts (DCN), ray
+    axis across each host's devices (ICI) on a multi-host mesh; plain
+    scene-over-'data' otherwise."""
+    if "scene" in mesh.axis_names:
+        return NamedSharding(mesh, P("scene", "data"))
     return NamedSharding(mesh, P("data"))
 
 

@@ -21,7 +21,7 @@ from ..fields.ngp import NGPFieldConfig, init_ngp_params
 from ..render.renderer import RenderConfig, render_rays
 from ..kernels.distortion import distortion_loss
 from ..train.schedule import OptimConfig, lr_at, smooth_l1
-from .mesh import ray_sharding
+from .mesh import scene_sharding, scene_ray_sharding
 
 
 def init_multi_scene_params(key: jax.Array, n_scenes: int,
@@ -74,12 +74,18 @@ def build_multi_scene_step(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
     @jax.jit
     def step(params, opt_state, occ_grids, batch, keys, progress):
         if mesh is not None:
-            shard = lambda t: jax.tree_util.tree_map(
+            # scene-stacked state over the scene axis ('scene' across hosts
+            # on a multi-host mesh, else 'data'); ray batches additionally
+            # over the intra-host 'data' axis so each host's devices split
+            # their scene's rays over ICI
+            per_scene = lambda t: jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, ray_sharding(mesh)), t)
-            params = shard(params)
-            batch = shard(batch)
-            occ_grids = shard(occ_grids)
+                    x, scene_sharding(mesh)), t)
+            params = per_scene(params)
+            occ_grids = per_scene(occ_grids)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, scene_ray_sharding(mesh)), batch)
         return vstep(params, opt_state, occ_grids, batch, keys, progress)
 
     return init_opt_state, step

@@ -193,3 +193,60 @@ def test_dp_render_matches_single_device():
                                np.asarray(ref["rgb"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["distance"]),
                                np.asarray(ref["distance"]), atol=1e-5)
+
+
+def test_multihost_mesh_multi_scene():
+    """SURVEY §2.4 multi-host plan: ('scene', 'data', 'model') mesh with the
+    scene axis standing in for the DCN (host) dimension — 2 'hosts' x 4
+    devices simulated on the 8-device CPU mesh. The multi-scene step must
+    train under the host-per-scene layout with rays split over the
+    intra-host 'data' axis."""
+    from perf_tpu.parallel import (
+        init_multi_scene_params, build_multi_scene_step, make_multihost_mesh,
+        scene_sharding, scene_ray_sharding,
+    )
+    from perf_tpu.render import occ_grid_from_points
+
+    field_cfg, render_cfg, _, _, _ = _setup()
+    mesh = make_multihost_mesh(n_scene=2)
+    assert mesh.axis_names == ("scene", "data", "model")
+    assert mesh.devices.shape == (2, 4, 1)
+
+    n_scenes = 2
+    params = init_multi_scene_params(jax.random.PRNGKey(0), n_scenes,
+                                     field_cfg)
+    rng = np.random.default_rng(0)
+    grids, batches = [], []
+    for s in range(n_scenes):
+        dirs = rng.normal(size=(128, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        radius = 0.4 + 0.1 * s
+        grids.append(occ_grid_from_points(jnp.asarray(dirs * radius),
+                                          res=render_cfg.occ_res))
+        batches.append({
+            "rays_o": jnp.zeros((64, 3)),
+            "rays_d": jnp.asarray(dirs[:64]),
+            "distances": jnp.full((64, 1), radius),
+        })
+    occ_grids = jax.device_put(jnp.stack(grids), scene_sharding(mesh))
+    batch = jax.device_put(
+        {k: jnp.stack([b[k] for b in batches]) for k in batches[0]},
+        scene_ray_sharding(mesh))
+    # each scene's rays live on that scene's (host's) 4 'data' devices
+    assert len(batch["rays_d"].sharding.device_set) == 8
+    assert batch["rays_d"].sharding.shard_shape(
+        batch["rays_d"].shape) == (1, 16, 3)
+
+    init_opt, step = build_multi_scene_step(field_cfg, render_cfg, mesh)
+    opt_state = init_opt(params)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(25):
+        key, k = jax.random.split(key)
+        keys = jax.random.split(k, n_scenes)
+        params, opt_state, losses = step(params, opt_state, occ_grids, batch,
+                                         keys, jnp.asarray(i / 25.0))
+        if first is None:
+            first = np.asarray(losses)
+    last = np.asarray(losses)
+    assert last.mean() < first.mean(), (first, last)
