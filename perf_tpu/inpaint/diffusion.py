@@ -332,10 +332,22 @@ class OpenCLIPText(nn.Module):
 
 
 def empty_prompt_tokens(batch: int = 1) -> jnp.ndarray:
+    """The empty prompt "" tokenizes to [SOT, EOT, 0...] — the only prompt
+    the reference pipeline ever uses (``diffusion_local_inpainter.py``
+    conditions on ""), hardcoded so the production path needs no BPE vocab
+    file. Arbitrary prompts: ``prompt_tokens``."""
     toks = np.zeros((batch, TEXT_CTX), np.int32)
     toks[:, 0] = SOT
     toks[:, 1] = EOT
     return jnp.asarray(toks)
+
+
+def prompt_tokens(texts, bpe_path: str) -> jnp.ndarray:
+    """Tokenize arbitrary prompts with the local BPE vocab
+    (``tokenizer.ClipBPETokenizer``); reference counterpart
+    ``ldm/modules/encoders/modules.py:134-197`` (open_clip.tokenize)."""
+    from .tokenizer import ClipBPETokenizer
+    return jnp.asarray(ClipBPETokenizer(bpe_path)(texts, TEXT_CTX))
 
 
 # ---------------------------------------------------------------------------
@@ -606,13 +618,20 @@ class DiffusionInpainterBackend(Inpainter):
 
     def __init__(self, ckpt_dir: str = "./pre_checkpoints",
                  variables: dict | None = None, ddim_steps: int = 20,
-                 seed: int = 0):
+                 seed: int = 0, prompt: str = ""):
         self.unet = UNetModel()
         self.vae_enc = VAEEncoder()
         self.vae_dec = VAEDecoder()
         self.text = OpenCLIPText()
         self.ddim_steps = ddim_steps
         self.seed = seed
+        if prompt:
+            # non-empty prompts need the BPE vocab next to the checkpoints
+            self._tokens = prompt_tokens(
+                [prompt], os.path.join(ckpt_dir,
+                                       "bpe_simple_vocab_16e6.txt.gz"))
+        else:
+            self._tokens = empty_prompt_tokens(1)   # reference parity path
         if variables is None:
             path = os.path.join(ckpt_dir, "512-inpainting-ema.ckpt")
             if not os.path.exists(path):
@@ -629,7 +648,8 @@ class DiffusionInpainterBackend(Inpainter):
         self._unet_apply = jax.jit(self.unet.apply)
         self._run = jax.jit(self._inpaint_jit)
 
-    def _inpaint_jit(self, variables, img, mask, start_code, key):
+    def _inpaint_jit(self, variables, img, mask, start_code, key,
+                     tokens=None):
         """img [1, H, W, 3] in [0,1]; mask [1, H, W, 1]."""
         x = img * 2.0 - 1.0
         masked = x * (mask <= 0.5)
@@ -640,7 +660,9 @@ class DiffusionInpainterBackend(Inpainter):
         mask_lat = jax.image.resize(mask, (1, h8, w8, 1), "nearest")
         c_concat = jnp.concatenate([mask_lat, z_masked], axis=-1)
 
-        context = self.text.apply(variables["text"], empty_prompt_tokens(1))
+        if tokens is None:
+            tokens = empty_prompt_tokens(1)
+        context = self.text.apply(variables["text"], tokens)
         z = ddim_sample(self.unet.apply, variables["unet"], start_code,
                         c_concat, context, key, self.ddim_steps)
         dec = self.vae_dec.apply(variables["vae_decoder"], z / SCALE_FACTOR)
@@ -656,5 +678,5 @@ class DiffusionInpainterBackend(Inpainter):
         start = jnp.asarray(prng.randn(1, h // 8, w // 8, Z_CHANNELS)
                             .astype(np.float32))
         out = self._run(self.variables, img, mask, start,
-                        jax.random.PRNGKey(self.seed))
+                        jax.random.PRNGKey(self.seed), self._tokens)
         return out[0]
