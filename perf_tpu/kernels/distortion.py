@@ -20,12 +20,15 @@ def _exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return c - x
 
 
-def distortion_loss(weights: jnp.ndarray, mids: jnp.ndarray,
-                    intervals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """weights/mids/valid [N, S]; intervals [N, S] or scalar. Returns scalar.
+def distortion_per_ray(weights: jnp.ndarray, mids: jnp.ndarray,
+                       intervals: jnp.ndarray, valid: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """weights/mids/valid [N, S]; intervals [N, S] or scalar. Returns [N].
 
     Invalid samples are zero-weighted, so they contribute nothing to either
-    term — equivalent to the packed/CSR formulation.
+    term — equivalent to the packed/CSR formulation. Per-ray so callers
+    with heterogeneous sample counts (the bucketed train path) can
+    concatenate before reducing.
     """
     w = weights * valid
     wm = w * mids
@@ -33,7 +36,14 @@ def distortion_loss(weights: jnp.ndarray, mids: jnp.ndarray,
     wm_cum = _exclusive_cumsum(wm)
     loss_bi = 2.0 * jnp.sum(w * (mids * w_cum - wm_cum), axis=-1)
     loss_uni = (1.0 / 3.0) * jnp.sum(intervals * w * w, axis=-1)
-    return jnp.mean(loss_bi + loss_uni)
+    return loss_bi + loss_uni
+
+
+def distortion_loss(weights: jnp.ndarray, mids: jnp.ndarray,
+                    intervals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Scalar mean of ``distortion_per_ray`` (reference
+    ``torch_efficient_distloss`` ``eff_distloss``)."""
+    return jnp.mean(distortion_per_ray(weights, mids, intervals, valid))
 
 
 def distortion_loss_bruteforce(weights, mids, intervals, valid):

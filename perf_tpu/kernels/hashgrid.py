@@ -152,8 +152,13 @@ def level_strides(cfg: HashGridConfig, step: float, n_samples: int) -> tuple:
         voxel = 2.0 / cfg.level_res(lvl)
         k = max(1, int(voxel / (2.0 * step)))
         k = 1 << (k.bit_length() - 1)         # floor to power of two
-        k = min(k, max(1, n_samples // 2))
-        strides.append(k)
+        cap = max(1, n_samples // 2)
+        cap = 1 << (cap.bit_length() - 1)     # keep the cap a power of two
+        # hard cap 16 so any multiple-of-16 sample budget divides every
+        # stride: this frees the adaptive budgets from power-of-two
+        # quantization (128 -> 112 at the flagship shell, a 12% row cut)
+        # for a ~1.5% row increase at the coarsest levels
+        strides.append(min(k, 16, cap))
     return tuple(strides)
 
 

@@ -40,6 +40,7 @@ from ..fields.ngp import (
     query_density_ray, query_rgb_ray,
 )
 from ..kernels.hashgrid import level_strides
+from ..kernels.distortion import distortion_per_ray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,12 @@ class RenderConfig:
     # subsampling. Typical rays concentrate >99% of their weight in 1-2
     # windows around the surface crossing.
     eval_rgb_windows: int = 4
+    # same trick on the TRAIN path (app-phase color steps): the color loss
+    # composites with DETACHED weights (``nerf_renderer.py:183``), so
+    # evaluating rgb only where the weight actually lives leaves the
+    # appearance gradient signal intact while cutting the app step's rgb
+    # encode rows ~2.5-3.5x. 0 = off (exact reference compositing).
+    train_rgb_windows: int = 4
     # eval-only: per-chunk sample budget picked from a full-ladder
     # occupancy probe of the actual frame rays (see render_image)
     adaptive_eval: bool = True
@@ -236,6 +243,42 @@ def _windows_to_samples(widx: jnp.ndarray, wvalid: jnp.ndarray,
     return t_mid, valid * (t_mid < cfg.far)
 
 
+def march_windows(occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                  rays_d: jnp.ndarray, key: jax.Array, cfg: RenderConfig,
+                  stratified: bool):
+    """Window-selection stage of the march: occupancy-probe the ladder and
+    compact the first ``max_windows`` occupied windows in t order.
+
+    Returns (widx int32 [N, max_windows], wvalid f32 [N, max_windows],
+    jitter [N, 1]); expand with ``_windows_to_samples``. Split out of
+    ``march_rays`` so the bucketed train path can sort rays by occupied-
+    window count BEFORE paying for sample expansion + field evaluation.
+    """
+    n = rays_o.shape[0]
+    res = cfg.occ_res
+    c = cfg.march_coarse
+    if stratified:
+        jitter = jax.random.uniform(key, (n, 1))
+    else:
+        jitter = jnp.zeros((n, 1))
+
+    if cfg.hier_march and res % 4 == 0:
+        sidx, svalid = _select_segments(occ_grid, rays_o, rays_d, jitter, cfg)
+        widx, wvalid = _fine_windows_from_segments(
+            occ_grid, rays_o, rays_d, sidx, svalid, jitter, cfg)
+    else:
+        wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
+        t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
+        occ = (_probe_points(occ_grid, rays_o, rays_d, t_probe, res)
+               * (t_probe < cfg.far))
+        keys = occ * (cfg.n_windows
+                      - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
+        vals, widx = jax.lax.top_k(keys, min(cfg.max_windows,
+                                             keys.shape[1]))    # [N, W]
+        wvalid = (vals > 0).astype(jnp.float32)
+    return widx, wvalid, jitter
+
+
 def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                key: jax.Array, cfg: RenderConfig, stratified: bool):
     """Occupancy-culled fixed-step marching with top-k compaction.
@@ -249,31 +292,8 @@ def march_rays(occ_grid: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     Returns (t_mid [N, max_samples] ascending, valid [N, max_samples] f32).
     """
-    n = rays_o.shape[0]
-    res = cfg.occ_res
-    c = cfg.march_coarse
-    if stratified:
-        jitter = jax.random.uniform(key, (n, 1))
-    else:
-        jitter = jnp.zeros((n, 1))
-
-    def probe(t, grid, r):
-        return _probe_points(grid, rays_o, rays_d, t, r)
-
-    if cfg.hier_march and res % 4 == 0:
-        sidx, svalid = _select_segments(occ_grid, rays_o, rays_d, jitter, cfg)
-        widx, wvalid = _fine_windows_from_segments(
-            occ_grid, rays_o, rays_d, sidx, svalid, jitter, cfg)
-    else:
-        wsteps = jnp.arange(cfg.n_windows, dtype=jnp.float32)
-        t_probe = cfg.near + (wsteps[None, :] * c + 0.5 * c + jitter) * cfg.step
-        occ = probe(t_probe, occ_grid, res) * (t_probe < cfg.far)
-        keys = occ * (cfg.n_windows
-                      - jnp.arange(cfg.n_windows, dtype=jnp.int32))[None, :]
-        vals, widx = jax.lax.top_k(keys, min(cfg.max_windows,
-                                             keys.shape[1]))    # [N, W]
-        wvalid = (vals > 0).astype(jnp.float32)
-
+    widx, wvalid, jitter = march_windows(occ_grid, rays_o, rays_d, key, cfg,
+                                         stratified)
     return _windows_to_samples(widx, wvalid, jitter, cfg)
 
 
@@ -295,16 +315,38 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
     phase's loss never reads color — the reference still pays for the
     no-grad rgb pass on every packed sample, we don't).
     """
-    key_march, key_bg_c, key_bg_d = jax.random.split(key, 3)
+    key_march, key_shade = jax.random.split(key)
     t_mid, valid = march_rays(occ_grid, rays_o, rays_d, key_march, cfg,
                               stratified=train)
+    return shade_rays(params, field_cfg, rays_o, rays_d, t_mid, valid,
+                      key_shade, cfg, train, stop_geo_grad, stop_app_grad,
+                      need_rgb)
+
+
+def shade_rays(params: dict, field_cfg: NGPFieldConfig,
+               rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+               t_mid: jnp.ndarray, valid: jnp.ndarray, key: jax.Array,
+               cfg: RenderConfig, train: bool,
+               stop_geo_grad: bool = False,
+               stop_app_grad: bool = False,
+               need_rgb: bool = True) -> dict:
+    """Field evaluation + compositing at pre-marched samples.
+
+    The sample count is taken from ``t_mid.shape[1]`` (NOT
+    ``cfg.max_samples``), so buckets with different static budgets share
+    one implementation. ``dist_loss`` [N] (per-ray distortion) rides along
+    on the train path so heterogeneous-budget callers can concatenate
+    per-ray losses.
+    """
+    key_bg_c, key_bg_d = jax.random.split(key)
     # sample world coords as three [N, S] arrays (no trailing-3 tensors)
     px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_mid
     py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_mid
     pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_mid
 
+    n_samples = t_mid.shape[1]
     if cfg.level_subsampling:
-        strides = level_strides(field_cfg.grid, cfg.step, cfg.max_samples)
+        strides = level_strides(field_cfg.grid, cfg.step, n_samples)
         dens_fn = lambda x, y, z: query_density_ray(params["geo"], x, y, z,
                                                     field_cfg, strides)
         rgb_fn = lambda x, y, z: query_rgb_ray(params["app"], x, y, z,
@@ -336,13 +378,15 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
 
     n = rays_o.shape[0]
     if need_rgb:
-        kw = cfg.eval_rgb_windows
+        kw = cfg.train_rgb_windows if train else cfg.eval_rgb_windows
         c = cfg.samples_per_window
         s = t_mid.shape[1]
-        if (not train) and kw and kw * c < s:
-            # eval fast path: color only the top-kw weight windows (window
+        if kw and kw * c < s:
+            # top-K fast path: color only the top-kw weight windows (window
             # sums keep the picked samples ray-structured, so per-level
-            # Nyquist subsampling still applies at the shrunk length)
+            # Nyquist subsampling still applies at the shrunk length);
+            # train=True composites color with detached weights anyway, so
+            # the app-phase gradient only needs rgb where the weight lives
             wwin = jnp.sum(weights.reshape(n, -1, c), axis=-1)  # [N, W]
             _, widx = jax.lax.top_k(wwin, kw)
             widx = jnp.sort(widx, axis=1)                       # t order
@@ -385,7 +429,7 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         distance = distance + cfg.eval_bg_distance * rest
         colors = colors + 0.5 * rest
 
-    return {
+    out = {
         "rgb": colors,
         "distance": distance,
         "opacity": opacity,
@@ -394,6 +438,65 @@ def render_rays(params: dict, field_cfg: NGPFieldConfig, occ_grid: jnp.ndarray,
         "valid": valid,
         "trans": trans,
     }
+    if train:
+        out["dist_loss"] = distortion_per_ray(
+            weights, t_mid, cfg.step * cfg.sample_stride, valid)
+    return out
+
+
+def render_rays_bucketed(params: dict, field_cfg: NGPFieldConfig,
+                         occ_grid: jnp.ndarray, rays_o: jnp.ndarray,
+                         rays_d: jnp.ndarray, key: jax.Array,
+                         cfg: RenderConfig, s_low: int, n_high: int,
+                         train: bool = True,
+                         stop_geo_grad: bool = False,
+                         stop_app_grad: bool = False,
+                         need_rgb: bool = True) -> dict:
+    """Two-budget train-batch rendering: sort rays by occupied-window count
+    and shade the low-occupancy majority at a smaller static sample budget.
+
+    Train batches are random pool draws, so per-chunk adaptive budgets (the
+    eval trick) cannot help — every batch mixes sky rays with wall-grazers
+    and the whole batch pays the worst case. Measured flagship shell
+    distribution: 98.6% of pool rays occupy <= 8 of the budget's 14-16
+    windows, so shading the sorted head at ``s_low`` cuts encode/interp/MLP/
+    scatter rows ~1.8x with identical ray math (the march selects the same
+    t-ordered windows; a low-bucket ray keeps its FIRST s_low samples,
+    which for 98%+ of rays is all of them). The ``n_high`` tail keeps the
+    full ``cfg.max_samples`` budget; per-episode plan selection
+    (``NeRFScene.select_sample_budget``) sizes ``n_high`` ~8x above the
+    expected over-``s_low`` ray count, so truncation is the same rare
+    worst-case event the adaptive budget already tolerates.
+
+    Per-ray outputs are restored to input ray order; sample-level arrays
+    (weights/t_mid) are per-bucket and intentionally NOT returned — use
+    ``dist_loss`` for the distortion term.
+    """
+    n = rays_o.shape[0]
+    spw = cfg.samples_per_window
+    assert s_low % spw == 0 and 0 < n_high < n
+    key_march, key_lo, key_hi = jax.random.split(key, 3)
+    widx, wvalid, jitter = march_windows(occ_grid, rays_o, rays_d, key_march,
+                                         cfg, stratified=train)
+    counts = jnp.sum(wvalid.astype(jnp.int32), axis=1)
+    order = jnp.argsort(counts)                       # ascending occupancy
+    inv = jnp.argsort(order)
+    o_s, d_s = rays_o[order], rays_d[order]
+    widx_s, wvalid_s, jit_s = widx[order], wvalid[order], jitter[order]
+    n_low = n - n_high
+
+    def bucket(sl, keyb, w_budget):
+        t_b, v_b = _windows_to_samples(widx_s[sl, :w_budget],
+                                       wvalid_s[sl, :w_budget], jit_s[sl], cfg)
+        return shade_rays(params, field_cfg, o_s[sl], d_s[sl], t_b, v_b,
+                          keyb, cfg, train, stop_geo_grad, stop_app_grad,
+                          need_rgb)
+
+    out_lo = bucket(slice(0, n_low), key_lo, s_low // spw)
+    out_hi = bucket(slice(n_low, n), key_hi, widx.shape[1])
+    keys = ["rgb", "distance", "opacity"] + (["dist_loss"] if train else [])
+    return {k: jnp.concatenate([out_lo[k], out_hi[k]], axis=0)[inv]
+            for k in keys}
 
 
 def beam_dilation(rays_d, cfg: RenderConfig) -> int:

@@ -44,8 +44,7 @@ from ..core import (
 )
 from ..fields import NGPFieldConfig, init_ngp_params, reset_geo
 from ..render import RenderConfig, render_rays, render_image
-from ..render.renderer import count_occupied_windows
-from ..kernels.distortion import distortion_loss
+from ..render.renderer import count_occupied_windows, render_rays_bucketed
 from .schedule import OptimConfig, lr_at, smooth_l1
 from .sup_pool import SupInfoPool
 from ..utils.metrics import MetricsWriter, phase_timer
@@ -67,6 +66,12 @@ class TrainConfig:
     prop_optimizer: OptimConfig = OptimConfig(
         init_lr=1e-4, peak_lr=1e-3, peak_at=0.1, lr_alpha=0.1)
     scan_chunk: int = 1   # >1 only pays on CPU (tests); scan is ~4x slower on TPU
+    # two-budget train batches (render_rays_bucketed): sort each batch by
+    # occupied-window count and shade the low-occupancy majority at a
+    # smaller static budget — measured flagship shells put 98.6% of rays
+    # at <= half the worst-case budget. Identical ray math; disable to get
+    # the single-budget reference shape.
+    bucket_train: bool = True
     # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
     # DEAD by parity: the reference declares these in every config
     # (configs/nerf.yaml:30-31) but no reference code path reads them;
@@ -139,6 +144,8 @@ class NeRFScene(Scene):
         # encode cost is proportional to sample ROWS, and on pool-derived
         # occupancy shells most rays occupy a small fraction of the cap
         self.sample_budget: int | None = None
+        # per-episode (s_low, n_high) from select_sample_budget, or None
+        self.bucket_plan: tuple | None = None
         # baked snapshot table for the fast eval path (render/snapshot.py);
         # invalidated whenever the field trains
         self.snapshot: jnp.ndarray | None = None
@@ -179,18 +186,40 @@ class NeRFScene(Scene):
         n = min(probe_rays, n_valid)
         idx = np.linspace(0, n_valid - 1, n).astype(np.int32)
         o, d = arrs["rays_o"][idx], arrs["rays_d"][idx]
-        counts = jax.jit(count_occupied_windows, static_argnums=3)(
-            self.occ_grid, o, d, rc)
-        worst = int(jnp.max(counts)) + 1
-        samples = worst * rc.march_coarse
-        budget = max(4 * rc.march_coarse, 1 << (samples - 1).bit_length())
-        return min(rc.max_samples, budget)
+        counts = np.asarray(jax.jit(count_occupied_windows, static_argnums=3)(
+            self.occ_grid, o, d, rc))
+        mc = rc.march_coarse
+        worst = int(counts.max()) + 1
+        # multiple-of-16 quantization (level_strides caps strides at 16 so
+        # any such budget divides them) — power-of-two rounding cost up to
+        # 33% of every downstream row at the flagship shell (104 -> 128)
+        budget = max(4 * mc, -(-worst * mc // 16) * 16)
+        budget = min(rc.max_samples, budget)
+
+        # two-budget bucket plan for train batches (render_rays_bucketed):
+        # s_low covers the 98th-percentile ray + 1 window; the high bucket
+        # keeps ~8x the expected over-s_low draw count, so truncation needs
+        # a >=8x-out-of-distribution batch (same risk class as the +1-window
+        # budget slack)
+        self.bucket_plan = None
+        tc = self.train_cfg
+        if tc.bucket_train:
+            batch = tc.pixel_loss_batch_size
+            w_low = int(np.percentile(counts, 98.0)) + 1
+            s_low = max(4 * mc, -(-w_low * mc // 16) * 16)
+            n_high = max(64, batch // 8)
+            frac_high = float(np.mean(counts > s_low // mc))
+            if s_low < budget and n_high < batch \
+                    and frac_high * batch * 8.0 <= n_high:
+                self.bucket_plan = (s_low, n_high)
+        return budget
 
     # -- jitted phase runners --------------------------------------------------
 
     def _get_phase_fn(self, phase: str, capacity: int):
         budget = self.sample_budget or self.render_cfg.max_samples
-        cache_key = (phase, capacity, budget)
+        plan = self.bucket_plan if self.train_cfg.bucket_train else None
+        cache_key = (phase, capacity, budget, plan)
         if cache_key in self._phase_fns:
             return self._phase_fns[cache_key]
 
@@ -198,6 +227,15 @@ class NeRFScene(Scene):
         fc = self.field_cfg
         rc = dataclasses.replace(self.render_cfg, max_samples=budget)
         adam = _adam()
+
+        def _render_train(geo_p, app_p, occ, o, d, k_render, **flags):
+            if plan:
+                return render_rays_bucketed(
+                    {"geo": geo_p, "app": app_p}, fc, occ, o, d, k_render,
+                    rc, plan[0], plan[1], train=True, **flags)
+            out = render_rays({"geo": geo_p, "app": app_p}, fc, occ, o, d,
+                              k_render, rc, train=True, **flags)
+            return out
 
         def geo_step(app_params, occ, arrs, carry, i):
             geo, opt_state, key = carry
@@ -207,12 +245,10 @@ class NeRFScene(Scene):
             progress_dist = i / tc.raw_phase_iter_app  # reference quirk
 
             def loss_fn(geo_p):
-                out = render_rays({"geo": geo_p, "app": app_params}, fc, occ,
-                                  o, d, k_render, rc, train=True,
-                                  stop_app_grad=True, need_rgb=False)
+                out = _render_train(geo_p, app_params, occ, o, d, k_render,
+                                    stop_app_grad=True, need_rgb=False)
                 depth_l = smooth_l1(out["distance"], gt_dist, beta=1e-2)
-                dist_l = distortion_loss(out["weights"], out["t_mid"],
-                                         rc.step, out["valid"])
+                dist_l = jnp.mean(out["dist_loss"])
                 ratio = jnp.minimum(progress_dist * 2.0, 1.0)
                 loss = (depth_l * tc.depth_loss_weight
                         + dist_l * tc.distortion_loss_weight * ratio)
@@ -237,9 +273,8 @@ class NeRFScene(Scene):
             progress = i / tc.raw_phase_iter_app
 
             def loss_fn(app_p):
-                out = render_rays({"geo": geo_params, "app": app_p}, fc, occ,
-                                  o, d, k_render, rc, train=True,
-                                  stop_geo_grad=True)
+                out = _render_train(geo_params, app_p, occ, o, d, k_render,
+                                    stop_geo_grad=True)
                 color_l = smooth_l1(out["rgb"], gt_col, beta=5e-2)
                 return color_l * tc.color_loss_weight, color_l
 
