@@ -98,6 +98,9 @@ def _train_config(tc: Config) -> TrainConfig:
         **({"prop_optimizer": optim(tc["prop_optimizer"])}
            if "prop_optimizer" in tc else {}),
         scan_chunk=tc.get("scan_chunk", 1),
+        bucket_train=tc.get("bucket_train", True),
+        vis_freq=tc.get("vis_freq", 0),
+        vis_video_freq=tc.get("vis_video_freq", 0),
         ignore_near=tc.get("ignore_near", True),
         cross_depth_check=tc.get("cross_depth_check", True),
     )
@@ -184,6 +187,8 @@ class CoreRunner:
             self.scene = NeRFScene(self.field_cfg, self.render_cfg,
                                    _train_config(sc["train_conf"]),
                                    self._next_key(), writer=writer)
+        # mid-episode previews (TrainConfig.vis_freq) land here
+        self.scene.vis_dir = pjoin(self.exp_dir, "fit_vis")
 
         # startup vis (reference core_exp_runner.py:67-72)
         write_image(pjoin(self.exp_dir, "distance_vis.png"),

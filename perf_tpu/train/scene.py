@@ -72,6 +72,15 @@ class TrainConfig:
     # at <= half the worst-case budget. Identical ray math; disable to get
     # the single-budget reference shape.
     bucket_train: bool = True
+    # mid-episode visual diagnostics: every vis_freq train iterations render
+    # a small pano preview from the CURRENT phase params (TB image + PNG in
+    # the scene's vis_dir). The reference declares vis_freq in every config
+    # (configs/nerf.yaml:68) but no reference code path reads it — here it
+    # works, so 7-min flagship episodes are not flown blind. 0 = off.
+    vis_freq: int = 0
+    # declared by the reference (configs/nerf.yaml:69) with no reader there;
+    # accepted for config parity, intentionally unused (like ignore_near)
+    vis_video_freq: int = 0
     # quirk parity: geo-phase distortion ramp divides by app iters (nerf.py:178)
     # DEAD by parity: the reference declares these in every config
     # (configs/nerf.yaml:30-31) but no reference code path reads them;
@@ -149,6 +158,9 @@ class NeRFScene(Scene):
         # baked snapshot table for the fast eval path (render/snapshot.py);
         # invalidated whenever the field trains
         self.snapshot: jnp.ndarray | None = None
+        # mid-episode previews (TrainConfig.vis_freq) also land here as PNGs
+        # when set (the runner points it at exp_dir/fit_vis)
+        self.vis_dir: str | None = None
         self._phase_fns = {}
 
     # -- helpers -------------------------------------------------------------
@@ -324,11 +336,16 @@ class NeRFScene(Scene):
         all_losses = []
         assert n_iters % tc.scan_chunk == 0, \
             f"{phase} iters {n_iters} must be divisible by scan_chunk {tc.scan_chunk}"
+        base = self.global_iter_geo if phase == "geo" else self.global_iter_app
         for c in range(n_iters // tc.scan_chunk):
             train_params, opt_state, key, losses = run_chunk(
                 train_params, frozen, opt_state, self.occ_grid, arrs, key,
                 jnp.asarray(c * tc.scan_chunk, jnp.float32))
             all_losses.append(losses)
+            if tc.vis_freq:
+                done = base + (c + 1) * tc.scan_chunk
+                if done // tc.vis_freq > (done - tc.scan_chunk) // tc.vis_freq:
+                    self._write_vis(phase, done, train_params, frozen)
         losses = np.asarray(jnp.concatenate(all_losses, 0))
 
         if phase == "geo":
@@ -349,6 +366,34 @@ class NeRFScene(Scene):
                     self.global_iter_app + j)
             self.global_iter_app += n_iters
         return losses
+
+    def _write_vis(self, phase: str, global_iter: int, train_params, frozen):
+        """Mid-episode preview: render a small identity-pose pano from the
+        CURRENT phase params (the episode's in-flight state, not
+        ``self.params``) to TB and, when ``vis_dir`` is set, to PNG.
+        Off the hot path — one small adaptive eval render per vis_freq
+        iterations."""
+        from ..core import gen_pano_rays
+        if phase == "geo":
+            params = {"geo": train_params, "app": frozen}
+        else:
+            params = {"geo": frozen, "app": train_params}
+        rays = gen_pano_rays(jnp.eye(4), 128, 256)
+        out = render_image(params, self.field_cfg, self.occ_grid, rays,
+                           self._next_key(), self.render_cfg,
+                           query_keys=("rgb", "distance"), chunk=32768)
+        rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
+        dist = np.asarray(out["distance"])[..., 0]
+        inv = np.clip(dist.min() / np.maximum(dist, 1e-6), 0.0, 1.0)
+        self.writer.add_image(f"fit_vis/{phase}_rgb", rgb, global_iter)
+        self.writer.add_image(f"fit_vis/{phase}_inv_distance",
+                              inv[..., None].repeat(3, -1), global_iter)
+        if self.vis_dir:
+            import os
+            from ..utils.io import write_image
+            os.makedirs(self.vis_dir, exist_ok=True)
+            write_image(os.path.join(
+                self.vis_dir, f"{phase}_{global_iter:06d}.png"), rgb)
 
     # -- public API ------------------------------------------------------------
 
