@@ -448,6 +448,144 @@ def brick_encode_stacked_grad(table: jnp.ndarray, x: jnp.ndarray,
     return out_feats, grads
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def corner_interp_dedup(nf: int, table_l, rep_rows, rid, locs, fracs):
+    """Run-deduplicated row gather + trilinear interpolation.
+
+    Adjacent t-ordered samples along a ray usually land in the SAME brick
+    (measured flagship geometry: 22-57 brick RUNS per 128 samples at the
+    stride<=2 levels), so instead of one row gather per sample this gathers
+    one row per RUN and re-expands per sample with a one-hot matmul (MXU
+    work, not per-row gather traffic — per-row cost is the encode floor,
+    BASELINE.md).
+
+    table_l [R, 64*F]; rep_rows int32 [N, K] (first row of each of K run
+    candidates; duplicates/padding allowed); rid int32 [N, S] in [0, K)
+    (each sample's run id, monotone along S, CLIPPED at K-1 — callers
+    probe K per episode with slack, same exactness class as the adaptive
+    sample budget); locs/fracs tuples of 3 [N, S] arrays as in
+    ``corner_interp_lowp``. Returns F arrays [N, S].
+
+    Backward scatters ONE row per (ray, run) — K/S of the standard path's
+    scatter traffic — with the same bf16-contribution / f32-accumulation
+    regime. d/fracs is exact (re-gather + re-expand, DCE'd when positions
+    need no gradient). d/rid and d/rep_rows are zero (integer plumbing).
+    """
+    cand = table_l.astype(jnp.bfloat16)[rep_rows]            # [N, K, C]
+    onehot = jax.nn.one_hot(rid, cand.shape[1], dtype=jnp.bfloat16)
+    vals = jnp.einsum("nsk,nkc->nsc", onehot, cand,
+                      preferred_element_type=jnp.float32)
+    return _interp_from_rows(vals, locs, fracs, nf)
+
+
+def _cid_fwd(nf, table_l, rep_rows, rid, locs, fracs):
+    return (corner_interp_dedup(nf, table_l, rep_rows, rid, locs, fracs),
+            (table_l, rep_rows, rid, locs, fracs))
+
+
+def _cid_bwd(nf, res, g):
+    table_l, rep_rows, rid, locs, fracs = res
+    width = table_l.shape[-1]
+    af = _lane_axes(width, nf)[3]
+    w_lane = _lane_weights(locs, fracs, width, nf)
+    gsel = g[0][..., None] if nf == 1 else sum(
+        (af == f) * g[f][..., None] for f in range(nf))
+    cot_rows = (w_lane * gsel).astype(jnp.bfloat16)          # [N, S, C]
+    k = rep_rows.shape[1]
+    onehot = jax.nn.one_hot(rid, k, dtype=jnp.bfloat16)
+    cot_cand = jnp.einsum("nsk,nsc->nkc", onehot, cot_rows,
+                          preferred_element_type=jnp.float32)
+    gt = jnp.zeros(table_l.shape, jnp.float32).at[rep_rows].add(
+        cot_cand.astype(jnp.bfloat16).astype(jnp.float32))
+
+    # exact position grads via on-demand re-expansion (DCE'd when unused)
+    cand = table_l.astype(jnp.bfloat16)[rep_rows]
+    vals = jnp.einsum("nsk,nkc->nsc", onehot, cand,
+                      preferred_element_type=jnp.float32)
+    ax, ay, az, _ = _lane_axes(width, nf)
+    wx = _axis_sel(ax, locs[0], fracs[0])
+    wy = _axis_sel(ay, locs[1], fracs[1])
+    wz = _axis_sel(az, locs[2], fracs[2])
+
+    def dsel(a, loc):
+        loc = loc[..., None]
+        return (a == loc + 1).astype(jnp.float32) - (a == loc)
+
+    core = vals * gsel
+    gfx = jnp.sum(core * dsel(ax, locs[0]) * wy * wz, axis=-1)
+    gfy = jnp.sum(core * wx * dsel(ay, locs[1]) * wz, axis=-1)
+    gfz = jnp.sum(core * wx * wy * dsel(az, locs[2]), axis=-1)
+    return gt, None, None, (None, None, None), (gfx, gfy, gfz)
+
+
+corner_interp_dedup.defvjp(_cid_fwd, _cid_bwd)
+
+
+def encode_brick_level_dedup(table_l, level_res: int, nb: int, x, y, z,
+                             smooth: bool, n_features: int, k_runs: int
+                             ) -> list:
+    """One level with run-dedup: x/y/z [N, S] t-ordered along S.
+    Gathers ``k_runs`` candidate rows per ray instead of S."""
+    bx, lx, fx = _axis_split(x, level_res, smooth)
+    by, ly, fy = _axis_split(y, level_res, smooth)
+    bz, lz, fz = _axis_split(z, level_res, smooth)
+    rows = _brick_index(bx, by, bz, nb, table_l.shape[0])      # [N, S]
+    tr = (rows[:, 1:] != rows[:, :-1]).astype(jnp.int32)
+    rid = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 1), jnp.int32), jnp.cumsum(tr, axis=1)],
+        axis=1)
+    rid = jnp.minimum(rid, k_runs - 1)
+    # first occurrence of run j = #samples with rid < j (rid is monotone)
+    rep_idx = jnp.sum(rid[:, None, :] < jnp.arange(k_runs, dtype=jnp.int32)
+                      [None, :, None], axis=-1)
+    rep_idx = jnp.minimum(rep_idx, rows.shape[1] - 1)
+    rep_rows = jnp.take_along_axis(rows, rep_idx, axis=1)      # [N, K]
+    return list(corner_interp_dedup(n_features, table_l, rep_rows, rid,
+                                    (lx, ly, lz), (fx, fy, fz)))
+
+
+def brick_encode_ray_dedup(table: jnp.ndarray, x, y, z, cfg: BrickGridConfig,
+                           strides: tuple, run_caps: tuple) -> jnp.ndarray:
+    """``brick_encode_ray`` with per-level run-dedup.
+
+    ``run_caps[lvl]`` = candidate-run budget K for that level (0 = use the
+    standard per-sample gather). Samples must be t-ordered along S (the
+    march emits them so). Callers probe K per episode with slack
+    (``NeRFScene.select_sample_budget``-style); overflow beyond K clips to
+    the last run — the same rare-worst-case class as budget truncation.
+    """
+    from .hashgrid import _lerp_upsample
+    smooth = cfg.interpolation == "smoothstep"
+    n, s = x.shape
+    outs = []
+    for lvl in range(cfg.n_levels):
+        k = strides[lvl]
+        res = cfg.level_res(lvl)
+        nb = cfg.level_bricks(lvl)
+        kr = run_caps[lvl] if lvl < len(run_caps) else 0
+        if k == 1:
+            if kr and kr < s:
+                outs.extend(encode_brick_level_dedup(
+                    table[lvl], res, nb, x, y, z, smooth, cfg.n_features, kr))
+            else:
+                outs.extend(encode_brick_level(table[lvl], res, nb, x, y, z,
+                                               smooth, cfg.bf16_table,
+                                               cfg.n_features))
+            continue
+        assert s % k == 0
+        xs = jnp.concatenate([x[:, ::k], x[:, -1:]], axis=1)
+        ys = jnp.concatenate([y[:, ::k], y[:, -1:]], axis=1)
+        zs = jnp.concatenate([z[:, ::k], z[:, -1:]], axis=1)
+        if kr and kr < xs.shape[1]:
+            feats = encode_brick_level_dedup(table[lvl], res, nb, xs, ys, zs,
+                                             smooth, cfg.n_features, kr)
+        else:
+            feats = encode_brick_level(table[lvl], res, nb, xs, ys, zs,
+                                       smooth, cfg.bf16_table, cfg.n_features)
+        outs.extend(_lerp_upsample(f, k, s) for f in feats)
+    return jnp.stack(outs, axis=-1)
+
+
 def brick_encode_numpy(table: np.ndarray, x: np.ndarray,
                        cfg: BrickGridConfig) -> np.ndarray:
     """Independent NumPy reference (tests)."""

@@ -132,3 +132,62 @@ def test_brick_field_fits_room():
         key, k = jax.random.split(key)
         geo, opt_state, loss = step(geo, opt_state, k)
     assert float(loss) < 0.05, float(loss)
+
+
+def test_brick_encode_ray_dedup_parity():
+    """Run-dedup encode == standard encode when K covers every run, for
+    values AND table gradients (t-ordered ray samples)."""
+    from perf_tpu.kernels.brickgrid import brick_encode_ray_dedup
+    cfg = _cfg(n_levels=4, per_level_scale=2.4, base_res=8, bf16_table=True)
+    table = init_brick_table(jax.random.PRNGKey(0), cfg)
+    n, s = 32, 64
+    # t-ordered samples along straight rays (the march contract)
+    o = jax.random.uniform(jax.random.PRNGKey(1), (n, 1, 3)) * 0.2 + 0.1
+    d = jax.random.normal(jax.random.PRNGKey(2), (n, 1, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 0.6, s)[None, :, None]
+    p = jnp.clip(o + d * t, 0.0, 1.0)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    strides = (8, 4, 2, 1)
+    caps_full = (s, s, s, s)   # K >= any possible run count -> exact
+
+    ref = brick_encode_ray(table, x, y, z, cfg, strides)
+    out = brick_encode_ray_dedup(table, x, y, z, cfg, strides, caps_full)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+    cot = jax.random.normal(jax.random.PRNGKey(3), ref.shape)
+
+    def loss_ref(tb):
+        return jnp.sum(brick_encode_ray(tb, x, y, z, cfg, strides) * cot)
+
+    def loss_dd(tb):
+        return jnp.sum(brick_encode_ray_dedup(tb, x, y, z, cfg, strides,
+                                              caps_full) * cot)
+
+    g_ref = jax.grad(loss_ref)(table)
+    g_dd = jax.grad(loss_dd)(table)
+    scale = float(jnp.max(jnp.abs(g_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(g_dd) / scale,
+                               np.asarray(g_ref) / scale, atol=2e-2)
+
+    # tight caps still reproduce values for rays whose runs fit: use the
+    # true max run count as the cap (what the per-episode probe would pick)
+    rows_runs = []
+    for lvl, k in enumerate(strides):
+        res = cfg.level_res(lvl)
+        xs = np.asarray(jnp.concatenate([x[:, ::k], x[:, -1:]], 1)) if k > 1 \
+            else np.asarray(x)
+        ys = np.asarray(jnp.concatenate([y[:, ::k], y[:, -1:]], 1)) if k > 1 \
+            else np.asarray(y)
+        zs = np.asarray(jnp.concatenate([z[:, ::k], z[:, -1:]], 1)) if k > 1 \
+            else np.asarray(z)
+        c0 = np.clip(np.floor(np.stack([xs, ys, zs], -1) * res), 0, res - 1
+                     ).astype(np.int64) // 3
+        nbk = res // 3 + 1
+        r = c0[..., 0] * nbk * nbk + c0[..., 1] * nbk + c0[..., 2]
+        rows_runs.append(int(((r[:, 1:] != r[:, :-1]).sum(1) + 1).max()))
+    caps_tight = tuple(rows_runs)
+    out_t = brick_encode_ray_dedup(table, x, y, z, cfg, strides, caps_tight)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
