@@ -187,6 +187,7 @@ def main():
             "snapshot_bake_sec": round(bake_s, 1),
             "batch": batch, "max_samples": render_cfg.max_samples,
             "sample_budget": scene.sample_budget,
+            "bucket_plan": list(scene.bucket_plan or ()),
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,
