@@ -99,6 +99,7 @@ def _train_config(tc: Config) -> TrainConfig:
            if "prop_optimizer" in tc else {}),
         scan_chunk=tc.get("scan_chunk", 1),
         bucket_train=tc.get("bucket_train", True),
+        dedup_runs=tc.get("dedup_runs", False),
         vis_freq=tc.get("vis_freq", 0),
         vis_video_freq=tc.get("vis_video_freq", 0),
         ignore_near=tc.get("ignore_near", True),

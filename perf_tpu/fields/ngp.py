@@ -50,8 +50,12 @@ def encode_coords(table, x, y, z, grid):
     return hash_encode_coords(table, x, y, z, grid)
 
 
-def encode_ray(table, x, y, z, grid, strides):
+def encode_ray(table, x, y, z, grid, strides, run_caps=None):
     if _is_brick(grid):
+        if run_caps:
+            from ..kernels.brickgrid import brick_encode_ray_dedup
+            return brick_encode_ray_dedup(table, x, y, z, grid, strides,
+                                          run_caps)
         return brick_encode_ray(table, x, y, z, grid, strides)
     return hash_encode_ray(table, x, y, z, grid, strides)
 from .mlp import ngp_mlp_init, ngp_mlp_apply, ngp_mlp_apply_channels
@@ -151,10 +155,16 @@ def query_rgb_coords(app_params: dict, x, y, z, cfg: NGPFieldConfig):
 
 
 def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
-                      strides: tuple) -> jnp.ndarray:
-    """Density at ray-structured coords [N, S] with per-level subsampling."""
+                      strides: tuple, run_caps: tuple | None = None
+                      ) -> jnp.ndarray:
+    """Density at ray-structured coords [N, S] with per-level subsampling.
+
+    ``run_caps`` (brick grids only) switches the encode to the run-dedup
+    gather (``kernels/brickgrid.brick_encode_ray_dedup``); samples must be
+    t-ordered along S, which the march guarantees."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides)
+    feats = encode_ray(geo_params["table"], nx, ny, nz, cfg.grid, strides,
+                       run_caps)
     # named so a remat policy can SAVE the (bf16) encodings: the backward
     # then never re-runs the gathers (it only needs the interp weights,
     # recomputable from coords, plus the saved features for the MLP grads)
@@ -164,10 +174,11 @@ def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
 
 
 def query_rgb_ray(app_params: dict, x, y, z, cfg: NGPFieldConfig,
-                  strides: tuple):
+                  strides: tuple, run_caps: tuple | None = None):
     """RGB at ray-structured coords [N, S] -> (r, g, b) arrays."""
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
-    feats = encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides)
+    feats = encode_ray(app_params["table"], nx, ny, nz, cfg.grid, strides,
+                       run_caps)
     feats = checkpoint_name(feats.astype(jnp.bfloat16), "enc_feats")
     r, g, b = ngp_mlp_apply_channels(app_params["mlp"], feats,
                                      out_activation=jax.nn.sigmoid)

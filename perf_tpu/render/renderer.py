@@ -86,6 +86,11 @@ class RenderConfig:
     # LADDER (probes, windows) is unchanged, only in-window sampling
     # density drops.
     sample_stride: int = 1
+    # per-level brick-run candidate caps for the run-dedup encode
+    # (kernels/brickgrid.brick_encode_ray_dedup; brick grids only; probed
+    # per episode by NeRFScene when TrainConfig.dedup_runs is on). None =
+    # standard per-sample gathers.
+    run_caps: tuple | None = None
 
     @property
     def n_march(self) -> int:
@@ -348,9 +353,11 @@ def shade_rays(params: dict, field_cfg: NGPFieldConfig,
     if cfg.level_subsampling:
         strides = level_strides(field_cfg.grid, cfg.step, n_samples)
         dens_fn = lambda x, y, z: query_density_ray(params["geo"], x, y, z,
-                                                    field_cfg, strides)
+                                                    field_cfg, strides,
+                                                    cfg.run_caps)
         rgb_fn = lambda x, y, z: query_rgb_ray(params["app"], x, y, z,
-                                               field_cfg, strides)
+                                               field_cfg, strides,
+                                               cfg.run_caps)
     else:
         dens_fn = lambda x, y, z: query_density_coords(params["geo"], x, y, z,
                                                        field_cfg)
@@ -398,7 +405,7 @@ def shade_rays(params: dict, field_cfg: NGPFieldConfig,
             if cfg.level_subsampling:
                 strides_k = level_strides(field_cfg.grid, cfg.step, kw * c)
                 r, g, b = query_rgb_ray(params["app"], pxk, pyk, pzk,
-                                        field_cfg, strides_k)
+                                        field_cfg, strides_k, cfg.run_caps)
             else:
                 r, g, b = query_rgb_coords(params["app"], pxk, pyk, pzk,
                                            field_cfg)

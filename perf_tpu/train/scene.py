@@ -72,6 +72,10 @@ class TrainConfig:
     # at <= half the worst-case budget. Identical ray math; disable to get
     # the single-budget reference shape.
     bucket_train: bool = True
+    # run-dedup encode on train steps (brick grids): gather one row per
+    # brick RUN with per-level caps probed each episode. OFF until the
+    # on-chip tools/bench_dedup.py measurement decides it (BASELINE.md).
+    dedup_runs: bool = False
     # mid-episode visual diagnostics: every vis_freq train iterations render
     # a small pano preview from the CURRENT phase params (TB image + PNG in
     # the scene's vis_dir). The reference declares vis_freq in every config
@@ -155,6 +159,8 @@ class NeRFScene(Scene):
         self.sample_budget: int | None = None
         # per-episode (s_low, n_high) from select_sample_budget, or None
         self.bucket_plan: tuple | None = None
+        # per-episode per-level run-dedup caps (TrainConfig.dedup_runs)
+        self.run_caps: tuple | None = None
         # baked snapshot table for the fast eval path (render/snapshot.py);
         # invalidated whenever the field trains
         self.snapshot: jnp.ndarray | None = None
@@ -224,20 +230,63 @@ class NeRFScene(Scene):
             if s_low < budget and n_high < batch \
                     and frac_high * batch * 8.0 <= n_high:
                 self.bucket_plan = (s_low, n_high)
+
+        self.run_caps = None
+        if tc.dedup_runs:
+            self.run_caps = self._probe_run_caps(o, d, budget)
         return budget
+
+    def _probe_run_caps(self, o, d, budget: int, slack: int = 8):
+        """Per-level brick-run candidate caps for the dedup encode: march
+        the probe rays at the episode budget and take each stride<=2
+        level's worst run count + slack (same exactness class as the
+        budget's +1-window slack)."""
+        from ..kernels.brickgrid import BrickGridConfig, BRICK
+        from ..kernels.hashgrid import level_strides
+        grid = self.field_cfg.grid
+        if not isinstance(grid, BrickGridConfig):
+            return None
+        rc = dataclasses.replace(self.render_cfg, max_samples=budget)
+        from ..render.renderer import march_rays
+        t_mid, _ = jax.jit(march_rays, static_argnames=("cfg", "stratified"))(
+            self.occ_grid, o, d, self._next_key(), rc, True)
+        pts = (np.asarray(o)[:, None, :]
+               + np.asarray(d)[:, None, :] * np.asarray(t_mid)[:, :, None])
+        span = self.field_cfg.aabb_max - self.field_cfg.aabb_min
+        x01 = np.clip((pts - self.field_cfg.aabb_min) / span, 0.0, 1.0)
+        strides = level_strides(grid, rc.step, budget)
+        caps = []
+        for lvl in range(grid.n_levels):
+            k = strides[lvl]
+            if k > 2:
+                caps.append(0)
+                continue
+            xs = (np.concatenate([x01[:, ::k], x01[:, -1:]], axis=1)
+                  if k > 1 else x01)
+            res = grid.level_res(lvl)
+            c0 = (np.clip(np.floor(xs * res), 0, res - 1).astype(np.int64)
+                  // BRICK)
+            nbk = res // BRICK + 1
+            r = c0[..., 0] * nbk * nbk + c0[..., 1] * nbk + c0[..., 2]
+            worst = int(((r[:, 1:] != r[:, :-1]).sum(1) + 1).max())
+            cap = worst + slack
+            caps.append(cap if cap < xs.shape[1] else 0)
+        return tuple(caps) if any(caps) else None
 
     # -- jitted phase runners --------------------------------------------------
 
     def _get_phase_fn(self, phase: str, capacity: int):
         budget = self.sample_budget or self.render_cfg.max_samples
         plan = self.bucket_plan if self.train_cfg.bucket_train else None
-        cache_key = (phase, capacity, budget, plan)
+        caps = self.run_caps if self.train_cfg.dedup_runs else None
+        cache_key = (phase, capacity, budget, plan, caps)
         if cache_key in self._phase_fns:
             return self._phase_fns[cache_key]
 
         tc = self.train_cfg
         fc = self.field_cfg
-        rc = dataclasses.replace(self.render_cfg, max_samples=budget)
+        rc = dataclasses.replace(self.render_cfg, max_samples=budget,
+                                 run_caps=caps)
         adam = _adam()
 
         def _render_train(geo_p, app_p, occ, o, d, k_render, **flags):

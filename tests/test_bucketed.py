@@ -118,6 +118,30 @@ def test_train_rgb_windows_close(setup):
     assert diff.max() < 0.05, diff.max()
 
 
+def test_dedup_runs_training():
+    """TrainConfig.dedup_runs: per-episode run caps are probed for brick
+    fields and training through the dedup encode still converges."""
+    from perf_tpu.kernels import BrickGridConfig
+    h, w = 64, 128
+    fc = NGPFieldConfig(grid=BrickGridConfig(
+        n_levels=4, n_features=2, log2_bricks=10, base_res=16,
+        per_level_scale=2.0))
+    rc = RenderConfig(step=4e-3, max_samples=64, occ_res=64)
+    pano = render_cube_room_pano(jnp.eye(4), h, w)
+    pool = SupInfoPool()
+    pool.register_sup_info(np.eye(4, dtype=np.float32), np.ones((h, w)),
+                           pano["rgb"], pano["distance"], pano["normal"])
+    tc = TrainConfig(pixel_loss_batch_size=512, raw_phase_iter_geo=40,
+                     raw_phase_iter_app=20, scan_chunk=20, dedup_runs=True)
+    scene = NeRFScene(fc, rc, tc, jax.random.PRNGKey(0))
+    out = scene.fit(pool)
+    assert scene.run_caps is not None, "brick field must probe run caps"
+    assert any(c > 0 for c in scene.run_caps)
+    g = out["geo_losses"]
+    assert float(g[-1][0]) < float(g[0][0])
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_budget_plan_selection():
     """select_sample_budget: multiple-of-16 budgets and coherent plans."""
     h, w = 64, 128
