@@ -158,7 +158,10 @@ def level_strides(cfg: HashGridConfig, step: float, n_samples: int) -> tuple:
         # stride: this frees the adaptive budgets from power-of-two
         # quantization (128 -> 112 at the flagship shell, a 12% row cut)
         # for a ~1.5% row increase at the coarsest levels
-        strides.append(min(k, 16, cap))
+        k = min(k, 16, cap)
+        while n_samples % k:          # halved budgets can be mult-of-8 only
+            k //= 2
+        strides.append(k)
     return tuple(strides)
 
 

@@ -76,6 +76,13 @@ class TrainConfig:
     # brick RUN with per-level caps probed each episode. OFF until the
     # on-chip tools/bench_dedup.py measurement decides it (BASELINE.md).
     dedup_runs: bool = False
+    # app-phase in-window sample stride: geometry is FROZEN in the app
+    # phase, so the density/weights quadrature can run at a coarser step
+    # (the baked snapshot renders at stride 4-8 with BETTER quality than
+    # stride-1 field eval, BASELINE.md ablation). Halves app-step density
+    # and rgb rows; the march ladder (windows) is unchanged. 1 = exact
+    # reference quadrature.
+    app_sample_stride: int = 2
     # mid-episode visual diagnostics: every vis_freq train iterations render
     # a small pano preview from the CURRENT phase params (TB image + PNG in
     # the scene's vis_dir). The reference declares vis_freq in every config
@@ -287,6 +294,18 @@ class NeRFScene(Scene):
         fc = self.field_cfg
         rc = dataclasses.replace(self.render_cfg, max_samples=budget,
                                  run_caps=caps)
+        if (phase == "app" and tc.app_sample_stride > 1
+                and rc.march_coarse % tc.app_sample_stride == 0
+                and budget % (2 * tc.app_sample_stride) == 0):
+            # coarser in-window quadrature for the frozen-geometry phase:
+            # same march windows (max_windows is unchanged), half the
+            # samples/rows (see TrainConfig.app_sample_stride)
+            st = tc.app_sample_stride
+            rc = dataclasses.replace(rc, sample_stride=st,
+                                     max_samples=budget // st)
+            if plan:
+                plan = (max(4 * rc.samples_per_window, plan[0] // st),
+                        plan[1])
         adam = _adam()
 
         def _render_train(geo_p, app_p, occ, o, d, k_render, **flags):
