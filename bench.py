@@ -50,6 +50,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    import os
+    if os.environ.get("PERF_TPU_COMPILE_CACHE", None) != "":
+        import perf_tpu
+        perf_tpu.enable_persistent_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

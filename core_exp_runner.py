@@ -35,6 +35,12 @@ def main(argv=None):
     import numpy as np
     np.random.seed(int(conf.get("seed", 0)))
 
+    # remote TPU compiles cost 1-7 min/program; persist executables so
+    # resumes/restarts/benches hit the cache (disable: PERF_TPU_COMPILE_CACHE=)
+    if os.environ.get("PERF_TPU_COMPILE_CACHE", None) != "":
+        import perf_tpu
+        perf_tpu.enable_persistent_compilation_cache()
+
     from perf_tpu.app import CoreRunner
     runner = CoreRunner(conf)
     runner.execute(str(conf["mode"]))

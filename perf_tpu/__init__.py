@@ -22,3 +22,23 @@ CPU<->GPU model shuffling.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_persistent_compilation_cache(path: str | None = None,
+                                        min_compile_secs: float = 2.0):
+    """Persist XLA executables across processes (VERDICT r2: bench setup
+    grew to ~857 s of remote recompiles; resumes/restarts pay the same
+    tax). On the tunneled axon backend compiles are remote and cost
+    1-7 min for the big train/render programs, so cache hits dominate
+    second runs. Call BEFORE the first jit. Safe on CPU too (tests keep
+    their own platform pin)."""
+    import os
+    import jax
+    cache_dir = path or os.environ.get(
+        "PERF_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "perf_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache_dir

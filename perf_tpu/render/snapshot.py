@@ -63,6 +63,14 @@ class SnapshotConfig:
     # eval sample cap at the snapshot stride; None -> 256 // stride
     # (the field path's cap, shrunk by the sparser in-window sampling)
     max_samples: int | None = None
+    # run-dedup in the composite: gather one 256-lane row per brick RUN
+    # (K = ceil(ratio * S) candidates) and re-expand with a one-hot MXU
+    # matmul — same trick as kernels/brickgrid.brick_encode_ray_dedup, on
+    # the dense bake grid where t-adjacent samples share bricks for ~4
+    # samples at the default stride. 0.0 = off; rays with more runs than K
+    # clip to the last candidate (eval-only approximation, gate with the
+    # quality tool before enabling in production).
+    dedup_ratio: float = 0.0
 
     @property
     def n_bricks(self) -> int:
@@ -173,21 +181,23 @@ def snapshot_render_cfg(render_cfg: RenderConfig,
                                max_samples=max_samples)
 
 
-@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res"))
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res",
+                                   "dedup_k"))
 def _snapshot_chunk(table, occ_grid, o_c, d_c, field_cfg, cfg, res,
-                    query_keys):
+                    query_keys, dedup_k=0):
     """One snapshot eval dispatch: march -> ONE row gather per sample ->
     factored interp of (sigma, r, g, b) -> composite (eval semantics of
     render_rays: gray bg, eval_bg_distance fill)."""
     t_mid, valid = march_rays(occ_grid, o_c, d_c,
                               jax.random.PRNGKey(0), cfg, stratified=False)
     return _composite_snapshot(table, o_c, d_c, t_mid, valid,
-                               field_cfg, cfg, res, query_keys)
+                               field_cfg, cfg, res, query_keys, dedup_k)
 
 
-@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res"))
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res",
+                                   "dedup_k"))
 def _snapshot_chunk_planned(table, occ_grid, o_c, d_c, sidx_c, svalid_c,
-                            field_cfg, cfg, res, query_keys):
+                            field_cfg, cfg, res, query_keys, dedup_k=0):
     """Planned variant: the coarse segment selection comes from the
     per-block frame plan (renderer.frame_march_plan); only the fine
     window probes run per ray."""
@@ -196,11 +206,11 @@ def _snapshot_chunk_planned(table, occ_grid, o_c, d_c, sidx_c, svalid_c,
                                                sidx_c, svalid_c, jitter, cfg)
     t_mid, valid = _windows_to_samples(widx, wvalid, jitter, cfg)
     return _composite_snapshot(table, o_c, d_c, t_mid, valid,
-                               field_cfg, cfg, res, query_keys)
+                               field_cfg, cfg, res, query_keys, dedup_k)
 
 
 def _composite_snapshot(table, o_c, d_c, t_mid, valid, field_cfg, cfg, res,
-                        query_keys):
+                        query_keys, dedup_k=0):
     span = field_cfg.aabb_max - field_cfg.aabb_min
     nx = (o_c[:, 0:1] + d_c[:, 0:1] * t_mid - field_cfg.aabb_min) / span
     ny = (o_c[:, 1:2] + d_c[:, 1:2] * t_mid - field_cfg.aabb_min) / span
@@ -213,8 +223,28 @@ def _composite_snapshot(table, o_c, d_c, t_mid, valid, field_cfg, cfg, res,
     bz, lz, fz = _axis_split(nz, res, False)
     nb = res // BRICK + 1
     rows = bx * (nb * nb) + by * nb + bz
-    sig, r, g, b = _interp_from_rows(table[rows], (lx, ly, lz),
-                                     (fx, fy, fz), SNAP_F)
+    if dedup_k and dedup_k < t_mid.shape[1]:
+        # one row per brick RUN + one-hot MXU re-expansion (see
+        # SnapshotConfig.dedup_ratio); rid clips at K-1
+        tr = (rows[:, 1:] != rows[:, :-1]).astype(jnp.int32)
+        rid = jnp.concatenate(
+            [jnp.zeros((rows.shape[0], 1), jnp.int32),
+             jnp.cumsum(tr, axis=1)], axis=1)
+        rid = jnp.minimum(rid, dedup_k - 1)
+        rep_idx = jnp.sum(
+            rid[:, None, :] < jnp.arange(dedup_k, dtype=jnp.int32)
+            [None, :, None], axis=-1)
+        rep_idx = jnp.minimum(rep_idx, rows.shape[1] - 1)
+        rep_rows = jnp.take_along_axis(rows, rep_idx, axis=1)
+        cand = table[rep_rows]                              # [N, K, 256]
+        onehot = jax.nn.one_hot(rid, dedup_k, dtype=jnp.bfloat16)
+        vals = jnp.einsum("nsk,nkc->nsc", onehot, cand,
+                          preferred_element_type=jnp.float32)
+        sig, r, g, b = _interp_from_rows(vals, (lx, ly, lz),
+                                         (fx, fy, fz), SNAP_F)
+    else:
+        sig, r, g, b = _interp_from_rows(table[rows], (lx, ly, lz),
+                                         (fx, fy, fz), SNAP_F)
     sig = jnp.maximum(sig, 0.0) * valid * sel
 
     tau = sig * (cfg.step * cfg.sample_stride)
@@ -295,19 +325,25 @@ def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
             b = max(4 * spw, 1 << (s_need - 1).bit_length())
             budgets.append(min(cfg.max_samples, b))
 
+    def _dedup_k(samples: int) -> int:
+        if not snap_cfg.dedup_ratio:
+            return 0
+        return int(max(8, -(-snap_cfg.dedup_ratio * samples // 8) * 8))
+
     outs = []
     for ci, start in enumerate(range(0, n + n_pad, chunk)):
         cfg_c = cfg if budgets is None else dataclasses.replace(
             cfg, max_samples=budgets[ci])
+        dk = _dedup_k(cfg_c.max_samples)
         sl = slice(start, start + chunk)
         if use_plan:
             outs.append(_snapshot_chunk_planned(
                 table, occ_grid, o[sl], d[sl], sidx_px[sl], svalid_px[sl],
-                field_cfg, cfg_c, snap_cfg.res, tuple(query_keys)))
+                field_cfg, cfg_c, snap_cfg.res, tuple(query_keys), dk))
         else:
             outs.append(_snapshot_chunk(table, occ_grid, o[sl], d[sl],
                                         field_cfg, cfg_c, snap_cfg.res,
-                                        tuple(query_keys)))
+                                        tuple(query_keys), dk))
     ret = {}
     for q in query_keys:
         cat = jnp.concatenate([c[q] for c in outs], axis=0)[:n]

@@ -133,3 +133,25 @@ def test_visibility_mask_snapshot_parity():
     rays0 = gen_pano_rays(jnp.eye(4), 32, 64)
     m0 = np.asarray(scene.get_pano_visibility_mask(pool, rays0))
     assert m0.mean() > 0.98, m0.mean()
+
+
+def test_snapshot_dedup_parity():
+    """SnapshotConfig.dedup_ratio: run-dedup composite matches the standard
+    per-sample gather when K covers the scene's run counts."""
+    pool, _ = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+    rays = gen_pano_rays(jnp.eye(4), 16, 32)
+
+    scene.bake_snapshot(SnapshotConfig(res=192, sample_stride=4,
+                                       max_samples=64))
+    ref = scene.render_snapshot(rays, query_keys=("rgb", "distance"),
+                                chunk=512)
+    scene.bake_snapshot(SnapshotConfig(res=192, sample_stride=4,
+                                       max_samples=64, dedup_ratio=0.9))
+    out = scene.render_snapshot(rays, query_keys=("rgb", "distance"),
+                                chunk=512)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["distance"]),
+                               np.asarray(ref["distance"]), atol=1e-3)
