@@ -40,6 +40,8 @@ def main():
                          "evaluated without re-fitting")
     ap.add_argument("--snap-res", type=int, default=None)
     ap.add_argument("--snap-stride", type=int, default=None)
+    ap.add_argument("--snap-dedup", type=float, default=None,
+                    help="SnapshotConfig.dedup_ratio for the A/B run")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -124,6 +126,8 @@ def main():
         snap_kw["res"] = args.snap_res
     if args.snap_stride:
         snap_kw["sample_stride"] = args.snap_stride
+    if args.snap_dedup is not None:
+        snap_kw["dedup_ratio"] = args.snap_dedup
     scene.bake_snapshot(SnapshotConfig(**snap_kw) if snap_kw else None)
     bake_s = time.perf_counter() - t0
     snap_out = scene.render_snapshot(rays, ("rgb", "distance"))
