@@ -447,9 +447,17 @@ class NeRFScene(Scene):
         else:
             params = {"geo": frozen, "app": train_params}
         rays = gen_pano_rays(jnp.eye(4), 128, 256)
+        # FIXED render config: adaptive per-chunk budgets pick a fresh
+        # max_samples per episode, and every new value is a new remote
+        # compile (~minutes through the tunnel) — measured stalling
+        # flagship anchors ~10 min per vis firing. One static shape
+        # compiles once for the whole run.
+        rc_vis = dataclasses.replace(self.render_cfg, adaptive_eval=False,
+                                     run_caps=None)
         out = render_image(params, self.field_cfg, self.occ_grid, rays,
-                           self._next_key(), self.render_cfg,
-                           query_keys=("rgb", "distance"), chunk=32768)
+                           self._next_key(), rc_vis,
+                           query_keys=("rgb", "distance"),
+                           chunk=min(self.render_cfg.eval_chunk, 8192))
         rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
         dist = np.asarray(out["distance"])[..., 0]
         inv = np.clip(dist.min() / np.maximum(dist, 1e-6), 0.0, 1.0)
