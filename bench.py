@@ -47,10 +47,28 @@ def main():
                     help="grid encoding; 'brick' is the TPU-flagship layout")
     args = ap.parse_args()
 
+    import os
+    if not args.cpu and os.environ.get("JAX_PLATFORMS", "axon") == "axon":
+        # the axon tunnel relay can die (round 3); jax.devices() then hangs
+        # forever on the dead loopback ports. Fail fast with one honest
+        # JSON line instead of stalling the driver's round-end step.
+        import socket
+        s = socket.socket()
+        s.settimeout(5)
+        try:
+            s.connect(("127.0.0.1", 8082))
+        except OSError as e:
+            print(json.dumps({
+                "metric": "train_rays_per_sec", "value": 0,
+                "unit": "rays/s/chip", "vs_baseline": 0,
+                "extras": {"error": f"axon tunnel unreachable: {e}"}}))
+            return
+        finally:
+            s.close()
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import os
     if os.environ.get("PERF_TPU_COMPILE_CACHE", None) != "":
         import perf_tpu
         perf_tpu.enable_persistent_compilation_cache()
