@@ -481,6 +481,11 @@ class NeRFScene(Scene):
         arrs = sup_pool.device_arrays()
         self.sample_budget = self.select_sample_budget(arrs)
         self.snapshot = None            # field changes -> stale bake
+        plan = self.bucket_plan or (0, 0)
+        self.writer.add_scalars(
+            {"budget/max_samples": self.sample_budget,
+             "budget/bucket_s_low": plan[0],
+             "budget/bucket_n_high": plan[1]}, self.global_iter_geo)
         capacity = int(arrs["rays_o"].shape[0])
         n_rays = tc.pixel_loss_batch_size
         with phase_timer(self.writer, "fit_geo", self.global_iter_geo,
