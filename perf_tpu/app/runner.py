@@ -143,6 +143,7 @@ class CoreRunner:
             max_samples=conf.get_path("scene.max_samples", 256),
             step=conf.get_path("scene.march_step", 5e-4),
             occ_res=conf.get_path("scene.occ_res", 256),
+            occ_dilation=conf.get_path("scene.occ_dilation", 1),
             # brick eval materializes [chunk*samples, 128] gather rows;
             # 8192-ray chunks keep the field-path render under ~1 GB on a
             # 16 GB chip (measured OOM at 32768 once the pool grows)

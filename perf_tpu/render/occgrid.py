@@ -35,16 +35,22 @@ def voxel_to_flat(v: jnp.ndarray, res: int) -> jnp.ndarray:
     return v[..., 0] * (res * res) + v[..., 1] * res + v[..., 2]
 
 
-def occ_grid_from_points(pts: jnp.ndarray, res: int = 256) -> jnp.ndarray:
+def occ_grid_from_points(pts: jnp.ndarray, res: int = 256,
+                         dilation: int = 1) -> jnp.ndarray:
     """Binary occupancy [res^3] (uint8) from surface points [N, 3].
 
-    Marks each point's voxel and its 26 one-voxel-shifted neighbors
-    (reference shifts by +-1/res in world space before quantizing,
-    ``sup_info.py:309-321`` — reproduced exactly so boundary voxels match).
+    ``dilation=1`` (default) marks each point's voxel and its 26
+    one-voxel-shifted neighbors (reference shifts by +-1/res in world space
+    before quantizing, ``sup_info.py:309-321`` — reproduced exactly so
+    boundary voxels match). ``dilation=0`` marks only the containing voxel:
+    a thinner shell shrinks the adaptive sample budgets (~1.2x fewer rows)
+    at the cost of coverage for noisy supervision — a perf knob, off the
+    reference-parity default.
     """
-    shift = 1.0 / res
+    shift = dilation / res
+    n_off = 2 * dilation + 1
     offsets = jnp.asarray(
-        np.stack(np.meshgrid(*([np.linspace(-shift, shift, 3)] * 3),
+        np.stack(np.meshgrid(*([np.linspace(-shift, shift, n_off)] * 3),
                              indexing="ij"), -1).reshape(-1, 3).astype(np.float32))
     grid = jnp.zeros((res * res * res,), jnp.uint8)
     for k in range(offsets.shape[0]):

@@ -50,6 +50,10 @@ class RenderConfig:
     step: float = 5e-4
     max_samples: int = 256
     occ_res: int = 256
+    # supervision-shell dilation for the pool-derived occupancy grid
+    # (occ_grid_from_points): 1 = reference-exact 26-neighbor shell;
+    # 0 = thin shell (smaller adaptive budgets, perf knob)
+    occ_dilation: int = 1
     bg_color: str = "rand_noise"  # 'rand_noise' | 'white' | 'black'
     eval_bg_distance: float = 5.0
     remat: bool = True

@@ -476,7 +476,8 @@ class NeRFScene(Scene):
     def fit(self, sup_pool: SupInfoPool):
         """One training episode over the current pool (``nerf.py:125-184``)."""
         tc = self.train_cfg
-        self.occ_grid = sup_pool.gen_occ_grid(self.render_cfg.occ_res)
+        self.occ_grid = sup_pool.gen_occ_grid(self.render_cfg.occ_res,
+                                              self.render_cfg.occ_dilation)
         self.params = reset_geo(self.params, self._next_key(), self.field_cfg)
         arrs = sup_pool.device_arrays()
         self.sample_budget = self.select_sample_budget(arrs)

@@ -175,12 +175,13 @@ class SupInfoPool:
 
     # -- geometry -----------------------------------------------------------
 
-    def gen_occ_grid(self, res: int = 256) -> jnp.ndarray:
+    def gen_occ_grid(self, res: int = 256, dilation: int = 1) -> jnp.ndarray:
         """Binary occupancy from all back-projected supervision points
-        (reference ``gen_occ_grid``, ``sup_info.py:304-330``)."""
+        (reference ``gen_occ_grid``, ``sup_info.py:304-330``; ``dilation``
+        controls the shell thickness — 1 is reference-exact)."""
         pts = jnp.asarray(self._cat["rays_o"]
                           + self._cat["rays_d"] * self._cat["distances"])
-        return occ_grid_from_points(pts, res)
+        return occ_grid_from_points(pts, res, dilation)
 
     def geo_check(self, rays: Rays, distances) -> jnp.ndarray:
         """Cross-pano conflict mask: 1 OK, 0 conflict.
