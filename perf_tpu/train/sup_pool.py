@@ -20,7 +20,9 @@ unformatted keys and never restores — our pool round-trips losslessly).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,12 +107,60 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+@jax.jit
+def _pano_proj_depths(pts, poses, dmaps):
+    """Per-pano projection of candidate points against registered surfaces.
+
+    pts [H, W, 3] world points, poses [P, 4, 4], dmaps [P, H', W', 1]
+    masked distance maps -> (proj_d, new_d), each [P, H, W, 1]: the pano's
+    stored surface depth sampled along each candidate direction, and the
+    candidate's own depth in that pano's frame. Shared core of geo_check
+    (``sup_info.py:261-302``) and the visibility mask (``nerf.py:321-358``);
+    one dispatch for ALL panos (vmap) instead of ~8 eager ops x P panos x
+    ~8 MB re-uploads per call through the tunnel."""
+
+    def one(pose, dmap):
+        rel = pts - pose[:3, 3]
+        local = apply_rot(rel, pose[:3, :3].T)
+        new_d = jnp.linalg.norm(local, axis=-1, keepdims=True)
+        coords = direction_to_img_coord(local / new_d)
+        proj_d = bilinear_sample(dmap, coords, padding="border")
+        return proj_d, new_d
+
+    return jax.vmap(one)(poses, dmaps)
+
+
+@jax.jit
+def _visibility_mask_core(pts, poses, dmaps):
+    """1 where ANY registered pano already sees the candidate surface
+    (-1-filled padded panos are neutral: visible bit always 0), then the
+    reference's 5/9 open (``nerf.py:345-358``)."""
+    proj_d, new_d = _pano_proj_depths(pts, poses, dmaps)
+    visible = (new_d < proj_d + 1.0 / 256.0).astype(jnp.float32)
+    mask = jnp.max(visible, axis=0)
+    return binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
+                             small=5, large=9)
+
+
+@jax.jit
+def _geo_check_core(pts, poses, dmaps):
+    """1 OK / 0 conflict over ALL panos (-1-filled padded panos are
+    neutral: -1 < new_d -> ok bit always 1), then the reference's 3/9 open
+    (``sup_info.py:289-301``)."""
+    proj_d, new_d = _pano_proj_depths(pts, poses, dmaps)
+    ok = (proj_d < new_d).astype(jnp.float32)
+    mask = jnp.min(ok, axis=0)
+    return binary_open_close((mask[..., 0] > 0.5).astype(jnp.float32),
+                             small=3, large=9)
+
+
 class SupInfoPool:
     """Growing pool of registered panos + concatenated supervision arrays."""
 
     def __init__(self):
         self.sup_infos: list[PanoSupInfo] = []
         self._cat = None  # dict of concatenated numpy arrays
+        self._device_maps = None  # (n, poses [P,4,4], dmaps [P,H,W,1])
 
     # -- registration -------------------------------------------------------
 
@@ -127,6 +177,7 @@ class SupInfoPool:
         else:
             self._cat = {k: np.concatenate([self._cat[k], arrays[k]], 0)
                          for k in self._cat}
+        self._device_maps = None   # stacked device view is stale
 
     @property
     def n_valid(self) -> int:
@@ -183,6 +234,32 @@ class SupInfoPool:
                           + self._cat["rays_d"] * self._cat["distances"])
         return occ_grid_from_points(pts, res, dilation)
 
+    def device_pano_maps(self):
+        """Stacked device view for the projection cores: (poses [P, 4, 4],
+        masked distance maps [P, H, W, 1]), P padded to the next power of
+        two with zero maps (neutral in both cores) so the jits stay
+        shape-stable as the pool grows. Cached — registering a pano
+        invalidates; ~8 MB/pano H2D re-uploads per call were the dominant
+        cost of the eager per-pano loop on the tunneled backend. None when
+        pano resolutions are heterogeneous (callers fall back)."""
+        if len({i.distance_map.shape for i in self.sup_infos}) != 1:
+            return None
+        n = len(self.sup_infos)
+        if self._device_maps is None or self._device_maps[0] != n:
+            cap = _next_pow2(n)
+            # padded slots hold -1 so both cores stay neutral for EVERY
+            # candidate depth (visible: new_d < -1+eps never; geo ok:
+            # -1 < new_d always). Zero would flip bits for pts within
+            # 1/256 of the padded pose's origin.
+            dmaps = np.full((cap,) + self.sup_infos[0].distance_map.shape,
+                            -1.0, np.float32)
+            poses = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+            for i, info in enumerate(self.sup_infos):
+                dmaps[i] = info.distance_map * info.mask
+                poses[i] = info.pose
+            self._device_maps = (n, jnp.asarray(poses), jnp.asarray(dmaps))
+        return self._device_maps[1:]
+
     def geo_check(self, rays: Rays, distances) -> jnp.ndarray:
         """Cross-pano conflict mask: 1 OK, 0 conflict.
 
@@ -193,6 +270,9 @@ class SupInfoPool:
         3/9 ellipse open)."""
         distances = jnp.asarray(distances).reshape(rays.o.shape[:-1])[..., None]
         pts = rays.o + rays.d * distances
+        maps = self.device_pano_maps()
+        if maps is not None:
+            return _geo_check_core(pts, *maps)
         h, w = pts.shape[:2]
         mask = jnp.ones((h, w, 1))
         for info in self.sup_infos:

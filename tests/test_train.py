@@ -176,6 +176,44 @@ def test_geo_check_consistent_geometry_ok():
     assert float(np.asarray(conflict).mean()) < 0.3
 
 
+def test_stacked_pano_projection_matches_loop():
+    """device_pano_maps + the jitted vmap cores (_visibility_mask_core /
+    _geo_check_core) must agree exactly with the eager per-pano loop they
+    replace (the loop stays as the heterogeneous-resolution fallback)."""
+    from perf_tpu.train.scene import pano_visibility_from_distance
+
+    pool, pano = _make_pool(32, 64)
+    pose2 = np.eye(4, dtype=np.float32)
+    pose2[:3, 3] = (0.2, -0.1, 0.1)
+    pano2 = render_cube_room_pano(jnp.asarray(pose2), 32, 64)
+    pool.register_sup_info(pose=pose2, mask=np.ones((32, 64)),
+                           rgb=pano2["rgb"], distance=pano2["distance"],
+                           normal=pano2["normal"])
+    assert pool.device_pano_maps() is not None
+    # padded slots: P=2 -> cap 2 here, so force a padded stack too
+    pose3 = np.eye(4, dtype=np.float32)
+    pose3[:3, 3] = (-0.15, 0.05, -0.1)
+    pano3 = render_cube_room_pano(jnp.asarray(pose3), 32, 64)
+    pool.register_sup_info(pose=pose3, mask=np.ones((32, 64)),
+                           rgb=pano3["rgb"], distance=pano3["distance"],
+                           normal=pano3["normal"])
+    poses, dmaps = pool.device_pano_maps()
+    assert poses.shape[0] == 4 and dmaps.shape == (4, 32, 64, 1)
+
+    rays = gen_pano_rays(jnp.asarray(pose2), 32, 64)
+    distance = jnp.asarray(pano2["distance"]).reshape(32, 64, 1) * 0.9
+
+    fast_vis = np.asarray(pano_visibility_from_distance(pool, rays, distance))
+    fast_geo = np.asarray(pool.geo_check(rays, distance))
+    # force the fallback loop by making device_pano_maps return None
+    pool.device_pano_maps = lambda: None
+    slow_vis = np.asarray(pano_visibility_from_distance(pool, rays, distance))
+    slow_geo = np.asarray(pool.geo_check(rays, distance))
+    np.testing.assert_array_equal(fast_vis, slow_vis)
+    np.testing.assert_array_equal(fast_geo, slow_geo)
+    assert 0.0 < fast_vis.mean() <= 1.0
+
+
 def test_vis_freq_mid_episode_previews(tmp_path):
     """TrainConfig.vis_freq renders mid-episode previews (PNG in vis_dir).
 
