@@ -71,6 +71,16 @@ class SnapshotConfig:
     # clip to the last candidate (eval-only approximation, gate with the
     # quality tool before enabling in production).
     dedup_ratio: float = 0.0
+    # ONE dispatch per frame: fold the march plan, the per-pixel expansion
+    # and every composite chunk (lax.map over stacked chunks) into a single
+    # jitted call at a FIXED per-frame sample budget (the snapshot cap —
+    # small, 256/stride). Trades the per-chunk adaptive budgets (<=2x extra
+    # device samples on a ~tens-of-ms compute) for 16+ fewer ~25 ms tunnel
+    # round-trips and zero mid-frame host readbacks — the measured 2.25 fps
+    # frame is mostly dispatch overhead (BASELINE.md round-3 backlog). One
+    # compile per (H, W, chunk). OFF until the chip A/B (runbook) records
+    # the win; 2D ray grids only (flat batches fall back to chunked).
+    frame_dispatch: bool = False
 
     @property
     def n_bricks(self) -> int:
@@ -261,6 +271,80 @@ def _composite_snapshot(table, o_c, d_c, t_mid, valid, field_cfg, cfg, res,
     return {q: out[q] for q in query_keys}
 
 
+def _dedup_k_for(ratio: float, samples: int) -> int:
+    """Run-candidate count for the composite's dedup gather: ceil(ratio *
+    samples) rounded up to a multiple of 8 (sublane-friendly one-hot),
+    floored at 8. 0 disables."""
+    if not ratio:
+        return 0
+    return int(max(8, -(-ratio * samples // 8) * 8))
+
+
+@partial(jax.jit, static_argnames=("field_cfg", "cfg", "query_keys", "res",
+                                   "dedup_k", "dilate", "chunk", "use_plan"))
+def _snapshot_frame(table, occ_grid, o_img, d_img, field_cfg, cfg, res,
+                    query_keys, dedup_k, dilate, chunk, use_plan):
+    """ONE dispatch for a whole [H, W] snapshot frame.
+
+    The beam plan (frame_march_plan), its per-pixel expansion, and a
+    lax.map over fixed-size composite chunks all trace into this single
+    jit, so a frame costs one tunnel round-trip and no host readbacks
+    until the image D2H. Every shape is static in (H, W, chunk, cfg):
+    the render_dense sweep compiles exactly once. The per-chunk memory
+    profile matches the chunked path (the map body IS one chunk)."""
+    h, w = o_img.shape[:2]
+    n = h * w
+    o = o_img.reshape(-1, 3)
+    d = d_img.reshape(-1, 3)
+    n_pad = (-n) % chunk
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], 0)
+    g = (n + n_pad) // chunk
+    o_g = o.reshape(g, chunk, 3)
+    d_g = d.reshape(g, chunk, 3)
+
+    if use_plan:
+        sidx_b, svalid_b, _ = frame_march_plan(occ_grid, o_img, d_img,
+                                               cfg, dilate)
+        s_sel = sidx_b.shape[1]
+
+        def expand(x):
+            x = jnp.repeat(jnp.repeat(
+                x.reshape(h // 4, w // 4, s_sel), 4, 0), 4, 1)
+            x = x.reshape(-1, s_sel)
+            if n_pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n_pad, s_sel), x.dtype)], 0)
+            return x.reshape(g, chunk, s_sel)
+
+        def body(args):
+            o_c, d_c, si_c, sv_c = args
+            jitter = jnp.zeros((o_c.shape[0], 1))
+            widx, wvalid = _fine_windows_from_segments(
+                occ_grid, o_c, d_c, si_c, sv_c, jitter, cfg)
+            t_mid, valid = _windows_to_samples(widx, wvalid, jitter, cfg)
+            return _composite_snapshot(table, o_c, d_c, t_mid, valid,
+                                       field_cfg, cfg, res, query_keys,
+                                       dedup_k)
+
+        outs = jax.lax.map(body, (o_g, d_g, expand(sidx_b),
+                                  expand(svalid_b)))
+    else:
+        def body(args):
+            o_c, d_c = args
+            t_mid, valid = march_rays(occ_grid, o_c, d_c,
+                                      jax.random.PRNGKey(0), cfg,
+                                      stratified=False)
+            return _composite_snapshot(table, o_c, d_c, t_mid, valid,
+                                       field_cfg, cfg, res, query_keys,
+                                       dedup_k)
+
+        outs = jax.lax.map(body, (o_g, d_g))
+    return {q: outs[q].reshape(g * chunk, -1)[:n].reshape(h, w, -1)
+            for q in query_keys}
+
+
 def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
                           occ_grid: jnp.ndarray, rays, render_cfg: RenderConfig,
                           snap_cfg: SnapshotConfig,
@@ -270,6 +354,19 @@ def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
     renderer.render_image."""
     cfg = snapshot_render_cfg(render_cfg, snap_cfg)
     pre_shape = rays.o.shape[:-1]
+    if snap_cfg.frame_dispatch and len(pre_shape) == 2:
+        h, w = pre_shape
+        use_plan = (h % 4 == 0 and w % 4 == 0 and cfg.hier_march
+                    and cfg.occ_res % 4 == 0)
+        dil = 0
+        if use_plan:
+            dil = beam_dilation(rays.d, cfg)
+            use_plan = dil <= 3
+        return _snapshot_frame(
+            table, occ_grid, jnp.asarray(rays.o), jnp.asarray(rays.d),
+            field_cfg, cfg, snap_cfg.res, tuple(query_keys),
+            _dedup_k_for(snap_cfg.dedup_ratio, cfg.max_samples),
+            dil, chunk, use_plan)
     o = rays.o.reshape(-1, 3)
     d = rays.d.reshape(-1, 3)
     n = o.shape[0]
@@ -325,16 +422,11 @@ def render_snapshot_image(table: jnp.ndarray, field_cfg: NGPFieldConfig,
             b = max(4 * spw, 1 << (s_need - 1).bit_length())
             budgets.append(min(cfg.max_samples, b))
 
-    def _dedup_k(samples: int) -> int:
-        if not snap_cfg.dedup_ratio:
-            return 0
-        return int(max(8, -(-snap_cfg.dedup_ratio * samples // 8) * 8))
-
     outs = []
     for ci, start in enumerate(range(0, n + n_pad, chunk)):
         cfg_c = cfg if budgets is None else dataclasses.replace(
             cfg, max_samples=budgets[ci])
-        dk = _dedup_k(cfg_c.max_samples)
+        dk = _dedup_k_for(snap_cfg.dedup_ratio, cfg_c.max_samples)
         sl = slice(start, start + chunk)
         if use_plan:
             outs.append(_snapshot_chunk_planned(

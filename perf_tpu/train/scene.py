@@ -110,6 +110,13 @@ def pano_visibility_from_distance(sup_pool: SupInfoPool, rays: Rays,
     given the rendered surface distance, 1 where some registered pano already
     sees the surface, 0 where it is new content, then 5/9 ellipse open."""
     pts = rays.o + rays.d * distance
+    maps = sup_pool.device_pano_maps()
+    if maps is not None:
+        # one dispatch over a cached [P, H, W, 1] device stack
+        # (sup_pool._visibility_mask_core) instead of ~8 eager ops and an
+        # ~8 MB distance-map re-upload per pano per call
+        from .sup_pool import _visibility_mask_core
+        return _visibility_mask_core(pts, *maps)
     h, w = pts.shape[:2]
     mask = jnp.zeros((h, w, 1))
     for info in sup_pool.sup_infos:
@@ -171,6 +178,9 @@ class NeRFScene(Scene):
         # baked snapshot table for the fast eval path (render/snapshot.py);
         # invalidated whenever the field trains
         self.snapshot: jnp.ndarray | None = None
+        # default SnapshotConfig for lazy bakes (runner sets it from the
+        # config's `snapshot:` section; None -> SnapshotConfig())
+        self.snap_cfg = None
         # mid-episode previews (TrainConfig.vis_freq) also land here as PNGs
         # when set (the runner points it at exp_dir/fit_vis)
         self.vis_dir: str | None = None
@@ -505,7 +515,7 @@ class NeRFScene(Scene):
         (render/snapshot.py) for gather-minimal eval rendering. Re-baked
         lazily after every fit; call before a long render sweep."""
         from ..render.snapshot import SnapshotConfig, bake_snapshot
-        self._snap_cfg = snap_cfg or SnapshotConfig()
+        self._snap_cfg = snap_cfg or self.snap_cfg or SnapshotConfig()
         self.snapshot = bake_snapshot(self.params, self.field_cfg,
                                       self.occ_grid, self.render_cfg.occ_res,
                                       self._snap_cfg)

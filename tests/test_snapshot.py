@@ -135,6 +135,37 @@ def test_visibility_mask_snapshot_parity():
     assert m0.mean() > 0.98, m0.mean()
 
 
+def test_snapshot_frame_dispatch_parity():
+    """SnapshotConfig.frame_dispatch: the one-dispatch whole-frame path
+    (plan + expansion + lax.map over chunks inside a single jit, fixed
+    per-frame budget) must agree with the chunked adaptive path — the
+    fixed budget is the cap, a superset of every adaptive chunk budget."""
+    pool, _ = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+
+    rays = gen_pano_rays(jnp.eye(4), 128, 256)
+    scene.bake_snapshot(SnapshotConfig(res=128))
+    ref = scene.render_snapshot(rays, ("rgb", "distance"), chunk=8192)
+    scene.bake_snapshot(SnapshotConfig(res=128, frame_dispatch=True))
+    out = scene.render_snapshot(rays, ("rgb", "distance"), chunk=8192)
+
+    assert out["rgb"].shape == ref["rgb"].shape
+    p = psnr(np.asarray(out["rgb"]), np.asarray(ref["rgb"]))
+    assert p > 40.0, p
+    d_err = np.abs(np.asarray(out["distance"])
+                   - np.asarray(ref["distance"])).mean()
+    assert d_err < 0.01, d_err
+
+    # flat ray lists fall back to the chunked path (shape-compatible)
+    flat = type(rays)(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3))
+    out_flat = scene.render_snapshot(flat, ("rgb",), chunk=8192)
+    assert out_flat["rgb"].shape == (128 * 256, 3)
+    p_flat = psnr(np.asarray(out_flat["rgb"]),
+                  np.asarray(out["rgb"]).reshape(-1, 3))
+    assert p_flat > 40.0, p_flat
+
+
 def test_snapshot_dedup_parity():
     """SnapshotConfig.dedup_ratio: run-dedup composite matches the standard
     per-sample gather when K covers the scene's run counts."""

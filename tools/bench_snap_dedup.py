@@ -1,4 +1,5 @@
-"""Snapshot dedup fps/quality A/B on a saved flagship scene ckpt."""
+"""Snapshot dedup + frame-dispatch fps/quality A/B on a saved flagship
+scene ckpt: every (dedup_ratio, frame_dispatch) pair, one JSON line each."""
 import sys, time, json
 sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp, numpy as np
@@ -21,16 +22,19 @@ rays = gen_pano_rays(jnp.eye(4), 512, 1024)
 gt = render_cube_room_pano(jnp.eye(4), 512, 1024)
 gt_rgb = np.asarray(gt['rgb'], np.float64)
 
-for ratio in (0.0, 0.75, 0.625, 0.5):
-    scene.bake_snapshot(SnapshotConfig(dedup_ratio=ratio))
-    out = scene.render_snapshot(rays, ('rgb', 'distance'))
-    float(out['rgb'][0,0,0])
-    t0 = time.perf_counter()
-    for _ in range(10):
+for frame_dispatch in (False, True):
+    for ratio in (0.0, 0.75, 0.625, 0.5):
+        scene.bake_snapshot(SnapshotConfig(dedup_ratio=ratio,
+                                           frame_dispatch=frame_dispatch))
         out = scene.render_snapshot(rays, ('rgb', 'distance'))
-    float(out['rgb'][0,0,0])
-    dt = (time.perf_counter() - t0) / 10
-    mse = float(np.mean((np.asarray(out['rgb'], np.float64) - gt_rgb) ** 2))
-    p = 10.0 * np.log10(1.0 / max(mse, 1e-12))
-    print(json.dumps({"ratio": ratio, "ms_per_frame": round(dt*1e3, 1),
-                      "fps": round(1.0/dt, 2), "psnr": round(p, 2)}))
+        float(out['rgb'][0,0,0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = scene.render_snapshot(rays, ('rgb', 'distance'))
+        float(out['rgb'][0,0,0])
+        dt = (time.perf_counter() - t0) / 10
+        mse = float(np.mean((np.asarray(out['rgb'], np.float64) - gt_rgb) ** 2))
+        p = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        print(json.dumps({"ratio": ratio, "frame_dispatch": frame_dispatch,
+                          "ms_per_frame": round(dt*1e3, 1),
+                          "fps": round(1.0/dt, 2), "psnr": round(p, 2)}))
