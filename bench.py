@@ -89,6 +89,10 @@ def main():
             per_level_scale=1.9))
         render_cfg = RenderConfig(step=4e-3, max_samples=128, occ_res=64)
         batch, render_hw = 1024, (64, 128)
+        # keep the CPU smoke fast: frame_dispatch renders the fixed cap
+        # (no adaptive budgets), ~0.07 fps on this 1-core box
+        args.steps = min(args.steps, 50)
+        args.frames = min(args.frames, 10)
     else:
         h, w = 1024, 2048
         if args.field == "brick":
@@ -126,12 +130,12 @@ def main():
     capacity = int(arrs["rays_o"].shape[0])
     setup_s = time.perf_counter() - t0
 
-    def time_phase(phase, n_steps):
-        run_chunk = scene._get_phase_fn(phase, capacity)
+    def time_phase(sc, phase, n_steps):
+        run_chunk = sc._get_phase_fn(phase, capacity)
         if phase == "geo":
-            tp, fz = scene.params["geo"], scene.params["app"]
+            tp, fz = sc.params["geo"], sc.params["app"]
         else:
-            tp, fz = scene.params["app"], scene.params["geo"]
+            tp, fz = sc.params["app"], sc.params["geo"]
         import optax
         opt_state = optax.scale_by_adam(eps=1e-8).init(tp)
         key = jax.random.PRNGKey(1)
@@ -139,7 +143,7 @@ def main():
         # NOTE: match the loop's STRONG f32 dtype — a weak-typed 0.0 warms up a
         # different aval and the first timed dispatch silently recompiles
         tp, opt_state, key, losses = run_chunk(tp, fz, opt_state,
-                                               scene.occ_grid, arrs, key,
+                                               sc.occ_grid, arrs, key,
                                                jnp.asarray(0.0, jnp.float32))
         # scalar D2H readback: on the tunneled backend block_until_ready has
         # been observed to return before execution completes
@@ -148,18 +152,48 @@ def main():
         done = 0
         while done < n_steps:
             tp, opt_state, key, losses = run_chunk(
-                tp, fz, opt_state, scene.occ_grid, arrs, key,
+                tp, fz, opt_state, sc.occ_grid, arrs, key,
                 jnp.asarray(float(done), jnp.float32))
-            done += train_cfg.scan_chunk
+            done += sc.train_cfg.scan_chunk
         float(losses[-1, 0])
         dt = time.perf_counter() - t0
         return done / dt, float(np.asarray(losses)[-1, 1])
 
-    geo_sps, geo_loss = time_phase("geo", args.steps)
-    app_sps, app_loss = time_phase("app", args.steps)
-    # reference episode mix: 3000 geo + 1500 app steps
-    episode_time = 3000.0 / geo_sps + 1500.0 / app_sps
-    train_rays_per_sec = 4500.0 * batch / episode_time
+    def episode_rays_per_sec(geo, app):
+        # reference episode mix: 3000 geo + 1500 app steps
+        return 4500.0 * batch / (3000.0 / geo + 1500.0 / app)
+
+    geo_sps, geo_loss = time_phase(scene, "geo", args.steps)
+    app_sps, app_loss = time_phase(scene, "app", args.steps)
+    train_rays_per_sec = episode_rays_per_sec(geo_sps, app_sps)
+
+    # run-dedup A/B (kernels/brickgrid.brick_encode_ray_dedup: one row
+    # gather per brick RUN + one-hot MXU re-expand, ~2x fewer encode rows
+    # at flagship occupancy): time the same phases with dedup_runs=True
+    # and headline the better MEASURED episode throughput. CPU-verified
+    # for parity (tests/test_brickgrid.py); this records the on-chip
+    # verdict the round-3 backlog called for.
+    geo_sps_d = app_sps_d = None
+    dedup_error = None
+    if not args.tiny and args.field == "brick":
+        # chip-unproven path: never let its failure lose the measured
+        # headline above (the whole point of the A/B is the verdict)
+        try:
+            import dataclasses
+            scene_d = NeRFScene(field_cfg, render_cfg,
+                                dataclasses.replace(train_cfg,
+                                                    dedup_runs=True),
+                                jax.random.PRNGKey(0))
+            scene_d.occ_grid = scene.occ_grid
+            scene_d.sample_budget = scene_d.select_sample_budget(arrs)
+            geo_sps_d, _ = time_phase(scene_d, "geo", args.steps)
+            app_sps_d, _ = time_phase(scene_d, "app", args.steps)
+            train_rays_per_sec = max(
+                train_rays_per_sec,
+                episode_rays_per_sec(geo_sps_d, app_sps_d))
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            dedup_error = f"{type(e).__name__}: {e}"[:200]
+            geo_sps_d = app_sps_d = None
 
     # render throughput — the production path (render_dense) bakes the
     # field once into the snapshot grid and renders every frame through
@@ -180,7 +214,27 @@ def main():
     for i in range(args.frames):
         out = scene.render_snapshot(rays, ("rgb", "distance"))
     float(out["rgb"][0, 0, 0])
-    fps = args.frames / (time.perf_counter() - t0)
+    fps_chunked = args.frames / (time.perf_counter() - t0)
+
+    # frame_dispatch A/B: same bake table, one-dispatch whole-frame path
+    # (snapshot.py _snapshot_frame) vs the 16-dispatch chunked path; the
+    # headline takes the better MEASURED number (both recorded in extras).
+    import dataclasses as _dc
+    frame_error = None
+    try:
+        scene._snap_cfg = _dc.replace(scene._snap_cfg, frame_dispatch=True)
+        out = scene.render_snapshot(rays, ("rgb", "distance"))  # compile
+        float(out["rgb"][0, 0, 0])
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            out = scene.render_snapshot(rays, ("rgb", "distance"))
+        float(out["rgb"][0, 0, 0])
+        fps_frame = args.frames / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — chip-unproven path, see above
+        frame_error = f"{type(e).__name__}: {e}"[:200]
+        fps_frame = 0.0
+        scene._snap_cfg = _dc.replace(scene._snap_cfg, frame_dispatch=False)
+    fps = max(fps_chunked, fps_frame)
 
     # field-path render (no bake), one frame for the record
     key = jax.random.PRNGKey(2)
@@ -203,13 +257,18 @@ def main():
                 fps / A100_RENDER_FPS_DERIVED, 3),
             "geo_steps_per_sec": round(geo_sps, 2),
             "app_steps_per_sec": round(app_sps, 2),
+            "geo_steps_per_sec_dedup": geo_sps_d and round(geo_sps_d, 2),
+            "app_steps_per_sec_dedup": app_sps_d and round(app_sps_d, 2),
             "render_fps_1024x512": round(fps, 3),
             "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
+            "render_fps_chunked": round(fps_chunked, 3),
+            "render_fps_frame_dispatch": round(fps_frame, 3),
             "render_fps_field_path": round(field_fps, 3),
             "snapshot_bake_sec": round(bake_s, 1),
             "batch": batch, "max_samples": render_cfg.max_samples,
             "sample_budget": scene.sample_budget,
             "bucket_plan": list(scene.bucket_plan or ()),
+            "dedup_error": dedup_error, "frame_dispatch_error": frame_error,
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,

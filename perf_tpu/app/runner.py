@@ -191,6 +191,18 @@ class CoreRunner:
                                    self._next_key(), writer=writer)
         # mid-episode previews (TrainConfig.vis_freq) land here
         self.scene.vis_dir = pjoin(self.exp_dir, "fit_vis")
+        # snapshot knobs for every lazy bake (anchor renders, visibility
+        # masks, render_dense) — see render/snapshot.py SnapshotConfig
+        from ..render.snapshot import SnapshotConfig
+        _sd = SnapshotConfig()
+        self.scene.snap_cfg = SnapshotConfig(
+            res=int(self.conf.get_path("snapshot.res", _sd.res)),
+            sample_stride=self.conf.get_path("snapshot.sample_stride",
+                                             _sd.sample_stride),
+            dedup_ratio=float(self.conf.get_path("snapshot.dedup_ratio",
+                                                 _sd.dedup_ratio)),
+            frame_dispatch=bool(self.conf.get_path(
+                "snapshot.frame_dispatch", _sd.frame_dispatch)))
 
         # startup vis (reference core_exp_runner.py:67-72)
         write_image(pjoin(self.exp_dir, "distance_vis.png"),
@@ -390,7 +402,21 @@ class CoreRunner:
         use_snapshot = bool(self.conf.get_path("render_dense.snapshot", True))
         if use_snapshot:
             self.scene.bake_snapshot()
-        frames = []
+        frames = [None] * dense.n_poses
+
+        def drain(i, out):
+            # D2H + PNG encode for frame i, AFTER frame i+1 was dispatched:
+            # the ~25 ms tunnel readback overlaps the next frame's device
+            # work (matters most with snapshot.frame_dispatch, where a
+            # frame is one async dispatch)
+            rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
+            frames[i] = (rgb * 255).astype(np.uint8)
+            write_image(pjoin(out_dir, f"image_{i}.png"), rgb)
+            write_image(pjoin(out_dir, f"distance_{i}.png"),
+                        colorize_single_channel_image(
+                            1.0 / np.asarray(out["distance"])))
+
+        pending = []
         for i in range(dense.n_poses):
             pose = dense.sample_pose(i).copy()
             if cam_type == "pano":
@@ -404,13 +430,13 @@ class CoreRunner:
                     rays, query_keys=("rgb", "distance"))
             else:
                 out = self.scene.render(rays, query_keys=("rgb", "distance"))
-            rgb = np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
-            frames.append((rgb * 255).astype(np.uint8))
-            write_image(pjoin(out_dir, f"image_{i}.png"), rgb)
-            write_image(pjoin(out_dir, f"distance_{i}.png"),
-                        colorize_single_channel_image(
-                            1.0 / np.asarray(out["distance"])))
-        write_video(pjoin(out_dir, "video.mp4"), frames, fps=30)
+            pending.append((i, out))
+            if len(pending) > 1:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
+        write_video(pjoin(out_dir, "video.mp4"),
+                    [f for f in frames if f is not None], fps=30)
 
     # -- checkpointing ----------------------------------------------------------------
 

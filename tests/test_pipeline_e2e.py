@@ -42,6 +42,11 @@ OVERRIDES = [
     "render_dense.n_poses=12",
     "render_dense.height=32",
     "render_dense.width=64",
+    # exercise the snapshot config plumbing + the one-dispatch frame path
+    # (render/snapshot.py frame_dispatch) end-to-end; res 96 matches the
+    # micro scene (default 384 is flagship-sized)
+    "snapshot.res=96",
+    "snapshot.frame_dispatch=true",
 ]
 
 
