@@ -186,8 +186,10 @@ def main():
                                 jax.random.PRNGKey(0))
             scene_d.occ_grid = scene.occ_grid
             scene_d.sample_budget = scene_d.select_sample_budget(arrs)
-            geo_sps_d, _ = time_phase(scene_d, "geo", args.steps)
-            app_sps_d, _ = time_phase(scene_d, "app", args.steps)
+            # steady-state step time needs far fewer samples than the
+            # headline number — keep the A/B from doubling bench wall-clock
+            geo_sps_d, _ = time_phase(scene_d, "geo", min(args.steps, 150))
+            app_sps_d, _ = time_phase(scene_d, "app", min(args.steps, 150))
             train_rays_per_sec = max(
                 train_rays_per_sec,
                 episode_rays_per_sec(geo_sps_d, app_sps_d))
