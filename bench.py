@@ -50,21 +50,31 @@ def main():
     import os
     if not args.cpu and os.environ.get("JAX_PLATFORMS", "axon") == "axon":
         # the axon tunnel relay can die (round 3); jax.devices() then hangs
-        # forever on the dead loopback ports. Fail fast with one honest
-        # JSON line instead of stalling the driver's round-end step.
+        # forever on the dead loopback ports. Poll for a grace window (the
+        # relay is host-managed and can come back), then fail with one
+        # honest JSON line instead of stalling the driver's round-end step.
         import socket
-        s = socket.socket()
-        s.settimeout(5)
-        try:
-            s.connect(("127.0.0.1", 8082))
-        except OSError as e:
-            print(json.dumps({
-                "metric": "train_rays_per_sec", "value": 0,
-                "unit": "rays/s/chip", "vs_baseline": 0,
-                "extras": {"error": f"axon tunnel unreachable: {e}"}}))
-            return
-        finally:
-            s.close()
+        wait_s = float(os.environ.get("PERF_TPU_TUNNEL_WAIT", "600"))
+        deadline = time.monotonic() + wait_s
+        last_err = None
+        while True:
+            s = socket.socket()
+            s.settimeout(5)
+            try:
+                s.connect(("127.0.0.1", 8082))
+                break
+            except OSError as e:
+                last_err = e
+                if time.monotonic() >= deadline:
+                    print(json.dumps({
+                        "metric": "train_rays_per_sec", "value": 0,
+                        "unit": "rays/s/chip", "vs_baseline": 0,
+                        "extras": {"error": "axon tunnel unreachable for "
+                                            f"{wait_s:.0f}s: {last_err}"}}))
+                    return
+                time.sleep(15)
+            finally:
+                s.close()
 
     import jax
     if args.cpu:

@@ -44,6 +44,9 @@ run_step flagship_bars 7200 python -m pytest -m flagship tests/test_quality_flag
 run_step quality_ep    7200 python tools/quality_episode.py --scene-ckpt /tmp/qscene.npz
 run_step snap_ab       3600 python tools/bench_snap_dedup.py /tmp/qscene.npz
 run_step bench         7200 python bench.py
+# long tail: finish the 24-anchor flagship record (anchors 9-23, ~2.6 h
+# steady-state) + the dense traverse video; skippable via the stamp file
+run_step flagship_24   21600 bash tools/resume_flagship.sh
 
 log "runbook complete — results in $OUT"
 grep -h "" "$OUT"/*.out 2>/dev/null | tail -40
