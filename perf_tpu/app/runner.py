@@ -263,6 +263,11 @@ class CoreRunner:
             self.train()
         elif mode == "render_dense":
             self.render_dense()
+        elif mode == "serve":
+            # beyond-reference: HTTP novel-view serving over the baked
+            # snapshot (app/serve.py); typically with is_continue=true
+            from .serve import serve_scene
+            serve_scene(self.scene, self.conf)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 

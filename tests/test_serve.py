@@ -1,0 +1,90 @@
+"""HTTP scene serving (app/serve.py, ``mode=serve``) — beyond-reference
+deployment surface: novel views on demand from the baked snapshot.
+
+The reference only writes offline artifacts (``core_exp_runner.py:223-246``);
+this anchors our server to the snapshot renderer it wraps.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from perf_tpu.app.serve import SceneServer, make_http_server, _pose_from_query
+from perf_tpu.core import gen_pano_rays
+from perf_tpu.render.snapshot import SnapshotConfig
+from perf_tpu.utils import psnr
+
+from test_train import _make_pool, _tiny_scene
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_serve_renders_over_http():
+    pool, pano = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+    scene.bake_snapshot(SnapshotConfig(res=128))
+
+    srv = SceneServer(scene, height=32, width=64)
+    srv.warmup()
+    httpd = make_http_server(srv, port=0)   # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, ctype, body = _get(base + "/health")
+        assert code == 200 and ctype == "application/json"
+        health = json.loads(body)
+        assert health["status"] == "ok" and health["snapshot_baked"]
+
+        # identity-pose pano render matches the direct snapshot render
+        code, ctype, body = _get(base + "/render")
+        assert code == 200 and ctype == "image/png"
+        img = cv2.imdecode(np.frombuffer(body, np.uint8),
+                           cv2.IMREAD_COLOR)[..., ::-1]
+        assert img.shape == (32, 64, 3)
+        direct = scene.render_snapshot(gen_pano_rays(jnp.eye(4), 32, 64),
+                                       query_keys=("rgb",))["rgb"]
+        direct_u8 = (np.clip(np.asarray(direct), 0, 1) * 255).astype(np.uint8)
+        assert psnr(img / 255.0, direct_u8 / 255.0) > 45.0  # png quantization
+
+        # displaced perspective + distance map render and decode
+        code, ctype, body = _get(
+            base + "/render?px=0.2&py=0.1&yaw=0.5&pitch=-0.2&cam=pers")
+        assert code == 200 and ctype == "image/png"
+        img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+        assert img.shape == (32, 32, 3) and img.std() > 1.0
+
+        code, ctype, body = _get(base + "/render?q=distance")
+        assert code == 200 and ctype == "image/png"
+
+        # bad inputs -> 400 with a JSON error, not a dead server
+        try:
+            _get(base + "/render?cam=nope")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+
+        code, _, _ = _get(base + "/info")
+        assert code == 200
+    finally:
+        httpd.shutdown()
+
+
+def test_pose_from_query_conventions():
+    # yaw rotates about world z; pitch about the local y; translation direct
+    p = _pose_from_query({"px": ["1"], "py": ["2"], "pz": ["3"]})
+    np.testing.assert_allclose(p[:3, 3], [1, 2, 3])
+    np.testing.assert_allclose(p[:3, :3], np.eye(3), atol=1e-7)
+    p = _pose_from_query({"yaw": [str(np.pi / 2)]})
+    np.testing.assert_allclose(p[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+    assert abs(np.linalg.det(p[:3, :3]) - 1.0) < 1e-5
