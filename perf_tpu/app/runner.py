@@ -100,6 +100,7 @@ def _train_config(tc: Config) -> TrainConfig:
         scan_chunk=tc.get("scan_chunk", 1),
         bucket_train=tc.get("bucket_train", True),
         dedup_runs=tc.get("dedup_runs", False),
+        app_sample_stride=tc.get("app_sample_stride", 2),
         vis_freq=tc.get("vis_freq", 0),
         vis_video_freq=tc.get("vis_video_freq", 0),
         ignore_near=tc.get("ignore_near", True),
