@@ -64,7 +64,10 @@ def main():
     cfg = BrickGridConfig()
     rc = RenderConfig(max_samples=args.samples)
     z = np.load(args.ckpt, allow_pickle=True)
-    occ = jnp.asarray(z["scene/occ_grid"])
+    # runner checkpoints nest the scene ("scene/occ_grid"); a bare
+    # quality_episode --scene-ckpt saves the scene state dict directly
+    occ = jnp.asarray(z["scene/occ_grid" if "scene/occ_grid" in z.files
+                        else "occ_grid"])
 
     rays = gen_pano_rays(jnp.eye(4), 256, 512)
     o = np.asarray(rays.o.reshape(-1, 3))

@@ -39,9 +39,12 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
     fi
 }
 
-run_step dedup_micro   3600 python tools/bench_dedup.py
-run_step flagship_bars 7200 python -m pytest -m flagship tests/test_quality_flagship.py -q
+# quality_ep runs FIRST: it produces the fitted-scene ckpt (with the real
+# flagship occ grid) that the dedup microbench and the snapshot A/B need —
+# runs/ resets between rounds, so the old flagship ckpt can't be assumed.
 run_step quality_ep    7200 python tools/quality_episode.py --scene-ckpt /tmp/qscene.npz
+run_step dedup_micro   3600 python tools/bench_dedup.py --ckpt /tmp/qscene.npz
+run_step flagship_bars 7200 python -m pytest -m flagship tests/test_quality_flagship.py -q
 run_step snap_ab       3600 python tools/bench_snap_dedup.py /tmp/qscene.npz
 run_step bench         7200 python bench.py
 # long tail: finish the 24-anchor flagship record (anchors 9-23, ~2.6 h

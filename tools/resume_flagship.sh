@@ -21,6 +21,28 @@ s = socket.socket(); s.settimeout(5)
 s.connect(("127.0.0.1", 8082))
 EOF
 
+# runs/ is gitignored and the box's scratch filesystem resets between
+# rounds — if the flagship scene pano is gone, regenerate it (synthetic
+# cube room at the reference 2048x1024 supervision size, same generator
+# as tests/test_pipeline_e2e.py) and start the record fresh.
+if [ ! -f "$RUN/scene/cozy_room/image.png" ]; then
+    echo "no scene pano under $RUN — bootstrapping a fresh flagship run"
+    mkdir -p "$RUN/scene/cozy_room"
+    RUN="$RUN" python - <<'EOF'
+import os, sys
+sys.path.insert(0, ".")
+import jax
+jax.config.update("jax_platforms", "cpu")  # host-side scene gen only
+import numpy as np
+from perf_tpu.utils import render_cube_room_pano
+from perf_tpu.utils.io import write_image
+pano = render_cube_room_pano(np.eye(4, dtype=np.float32), 1024, 2048)
+write_image(os.environ["RUN"] + "/scene/cozy_room/image.png",
+            np.asarray(pano["rgb"]))
+EOF
+fi
+# is_continue=true is a no-op on a fresh exp dir (runner starts at phase 0)
+
 set -x
 python core_exp_runner.py --config-name nerf \
     "dataset.image_path=$RUN/scene/cozy_room/image.png" \
