@@ -100,9 +100,10 @@ def main():
         render_cfg = RenderConfig(step=4e-3, max_samples=128, occ_res=64)
         batch, render_hw = 1024, (64, 128)
         # keep the CPU smoke fast: frame_dispatch renders the fixed cap
-        # (no adaptive budgets), ~0.07 fps on this 1-core box
-        args.steps = min(args.steps, 50)
-        args.frames = min(args.frames, 10)
+        # (no adaptive budgets), ~0.07 fps on this 1-core box, and the
+        # raw+flagship double series doubles the compile count
+        args.steps = min(args.steps, 25)
+        args.frames = min(args.frames, 6)
     else:
         h, w = 1024, 2048
         if args.field == "brick":
@@ -140,7 +141,8 @@ def main():
     capacity = int(arrs["rays_o"].shape[0])
     setup_s = time.perf_counter() - t0
 
-    def time_phase(sc, phase, n_steps):
+    def time_phase(sc, phase, arrs, n_steps):
+        capacity = int(arrs["rays_o"].shape[0])
         run_chunk = sc._get_phase_fn(phase, capacity)
         if phase == "geo":
             tp, fz = sc.params["geo"], sc.params["app"]
@@ -173,16 +175,42 @@ def main():
         # reference episode mix: 3000 geo + 1500 app steps
         return 4500.0 * batch / (3000.0 / geo + 1500.0 / app)
 
-    geo_sps, geo_loss = time_phase(scene, "geo", args.steps)
-    app_sps, app_loss = time_phase(scene, "app", args.steps)
+    # single-pano (raw-fit) regime — SECONDARY series: small budgets, no
+    # bucketing. Kept for cross-round comparability with BENCH_r01-r03.
+    raw_steps = min(args.steps, 10) if args.tiny else min(args.steps, 150)
+    geo_sps_raw, _ = time_phase(scene, "geo", arrs, raw_steps)
+    app_sps_raw, _ = time_phase(scene, "app", arrs, raw_steps)
+    raw_budget, raw_plan = scene.sample_budget, scene.bucket_plan
+
+    # FLAGSHIP regime — the HEADLINE (VERDICT r3 item 4): register
+    # synthetic anchor panos at displaced poses (as the progressive loop
+    # does after a few anchors, runner.py train loop), so the union
+    # occupancy shell drives the budget toward the 256 cap and the
+    # two-budget bucket_plan actually engages. Without this the recorded
+    # number structurally excludes the bucketing + top-K wins that set
+    # the real per-anchor cycle time (BASELINE.md round-3 record).
+    room = 0.8
+    for off in ((0.38, 0.0, 0.0), (-0.3, 0.18, 0.0), (0.08, -0.38, 0.15)):
+        apose = np.eye(4, dtype=np.float32)
+        apose[:3, 3] = np.asarray(off, np.float32) * (room / 0.8)
+        ap = render_cube_room_pano(jnp.asarray(apose), h, w)
+        pool.register_sup_info(apose, np.ones((h, w)),
+                               ap["rgb"], ap["distance"], ap["normal"])
+    scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
+    arrs_f = pool.device_arrays()
+    scene.sample_budget = scene.select_sample_budget(arrs_f)
+
+    geo_sps, geo_loss = time_phase(scene, "geo", arrs_f, args.steps)
+    app_sps, app_loss = time_phase(scene, "app", arrs_f, args.steps)
     train_rays_per_sec = episode_rays_per_sec(geo_sps, app_sps)
 
     # run-dedup A/B (kernels/brickgrid.brick_encode_ray_dedup: one row
     # gather per brick RUN + one-hot MXU re-expand, ~2x fewer encode rows
     # at flagship occupancy): time the same phases with dedup_runs=True
     # and headline the better MEASURED episode throughput. CPU-verified
-    # for parity (tests/test_brickgrid.py); this records the on-chip
-    # verdict the round-3 backlog called for.
+    # for parity (tests/test_brickgrid.py); runs at the FLAGSHIP pool —
+    # the regime the round-3 single-pano A/B could not represent
+    # (BASELINE.md:399-407).
     geo_sps_d = app_sps_d = None
     dedup_error = None
     if not args.tiny and args.field == "brick":
@@ -195,11 +223,13 @@ def main():
                                                     dedup_runs=True),
                                 jax.random.PRNGKey(0))
             scene_d.occ_grid = scene.occ_grid
-            scene_d.sample_budget = scene_d.select_sample_budget(arrs)
+            scene_d.sample_budget = scene_d.select_sample_budget(arrs_f)
             # steady-state step time needs far fewer samples than the
             # headline number — keep the A/B from doubling bench wall-clock
-            geo_sps_d, _ = time_phase(scene_d, "geo", min(args.steps, 150))
-            app_sps_d, _ = time_phase(scene_d, "app", min(args.steps, 150))
+            geo_sps_d, _ = time_phase(scene_d, "geo", arrs_f,
+                                      min(args.steps, 150))
+            app_sps_d, _ = time_phase(scene_d, "app", arrs_f,
+                                      min(args.steps, 150))
             train_rays_per_sec = max(
                 train_rays_per_sec,
                 episode_rays_per_sec(geo_sps_d, app_sps_d))
@@ -271,6 +301,14 @@ def main():
             "app_steps_per_sec": round(app_sps, 2),
             "geo_steps_per_sec_dedup": geo_sps_d and round(geo_sps_d, 2),
             "app_steps_per_sec_dedup": app_sps_d and round(app_sps_d, 2),
+            # single-pano raw-fit regime (BENCH_r01-r03 comparable series)
+            "raw_geo_steps_per_sec": round(geo_sps_raw, 2),
+            "raw_app_steps_per_sec": round(app_sps_raw, 2),
+            "raw_train_rays_per_sec": round(
+                episode_rays_per_sec(geo_sps_raw, app_sps_raw), 1),
+            "raw_sample_budget": raw_budget,
+            "raw_bucket_plan": list(raw_plan or ()),
+            "n_panos": len(pool.sup_infos),
             "render_fps_1024x512": round(fps, 3),
             "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
             "render_fps_chunked": round(fps_chunked, 3),

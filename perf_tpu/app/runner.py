@@ -82,6 +82,21 @@ def build_inpainter(conf: Config):
 
 
 def _train_config(tc: Config) -> TrainConfig:
+    # accepted-for-parity keys with NO reader in the reference's executed
+    # path (configs/nerf.yaml:30-31,69; see TrainConfig docstrings): loading
+    # a reference config must not error, but a user who CHANGES one away
+    # from its default deserves a warning instead of a silent no-op
+    _parity_only = {"vis_video_freq": 25000, "ignore_near": True,
+                    "cross_depth_check": True}  # reference nerf.yaml:30-31,69
+    for key, default in _parity_only.items():
+        if key in tc and tc[key] != default:
+            import warnings
+            warnings.warn(
+                f"config key '{key}'={tc[key]!r} is accepted for reference-"
+                "config parity but has no effect (the reference declares it "
+                "and never reads it; perf_tpu preserves that behavior)",
+                stacklevel=2)
+
     def optim(oc):
         return OptimConfig(init_lr=oc["init_lr"], peak_lr=oc["peak_lr"],
                            peak_at=oc["peak_at"], lr_alpha=oc["lr_alpha"])
@@ -231,7 +246,15 @@ class CoreRunner:
         self.phase = -1
 
         if conf.get("is_continue", False):
-            self.load_checkpoint("ckpt.npz")
+            ckpt = pjoin(self.exp_dir, "checkpoints", "ckpt.npz")
+            if os.path.exists(ckpt):
+                self.load_checkpoint("ckpt.npz")
+            else:
+                # is_continue=true on a fresh exp dir is a documented no-op
+                # (unattended runbooks pass it unconditionally so a resumed
+                # run and a bootstrap-from-scratch run share one command)
+                print(f"[perf_tpu] is_continue=true but no checkpoint at "
+                      f"{ckpt} — starting fresh")
 
     # -- helpers ---------------------------------------------------------------
 

@@ -99,3 +99,44 @@ def test_full_pipeline_train_and_render(scene_dir, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "video.mp4"))
     frames = [f for f in os.listdir(out_dir) if f.startswith("image_")]
     assert len(frames) >= 10
+
+
+def _load_conf(scene_dir, tmp, extra):
+    """The CLI's config composition without executing a mode."""
+    from perf_tpu.config import load_config
+    config_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    return load_config(config_dir, "nerf", [
+        f"dataset.image_path={scene_dir}/cozy_room/image.png",
+        "dataset.image_resize=[64, 32]",
+        f"device.base_exp_dir={tmp}",
+        *OVERRIDES, *extra,
+    ])
+
+
+def test_is_continue_fresh_dir_is_noop(scene_dir, tmp_path, capsys):
+    """is_continue=true with NO checkpoint must start fresh, not crash —
+    unattended runbooks pass it unconditionally (tools/resume_flagship.sh).
+    Runs after the pipeline test so the dataset geometry cache is warm."""
+    from perf_tpu.app import CoreRunner
+    conf = _load_conf(scene_dir, tmp_path / "fresh", ["is_continue=true"])
+    runner = CoreRunner(conf)
+    assert runner.phase == -1  # fresh start, nothing loaded
+    assert "starting fresh" in capsys.readouterr().out
+
+
+def test_parity_only_config_keys_warn(scene_dir, tmp_path):
+    """Reference-declared keys with no reader (cross_depth_check,
+    ignore_near, vis_video_freq) load fine at defaults but WARN when a user
+    changes them — a silent no-op would misrepresent coverage."""
+    import warnings
+    from perf_tpu.app.runner import _train_config
+    conf = _load_conf(scene_dir, tmp_path, [
+        "scene.train_conf.cross_depth_check=false"])
+    with pytest.warns(UserWarning, match="cross_depth_check"):
+        _train_config(conf["scene"]["train_conf"])
+    # defaults stay silent
+    conf = _load_conf(scene_dir, tmp_path, [])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _train_config(conf["scene"]["train_conf"])

@@ -1,19 +1,25 @@
 #!/bin/bash
-# Resume the flagship 24-anchor record from runs/flagship_r3 (ckpt has 9
-# anchors done; the axon relay died mid-round-3 while anchors 9+ were
-# pending — BASELINE.md "Round-3 flagship run record"). Safe to re-run:
-# is_continue=true skips completed anchors via the checkpointed phase, and
-# the persistent XLA compile cache makes restarts cheap.
+# The flagship 24-anchor record (1 raw fit + 24 anchor cycles, reference
+# workload core_exp_runner.py:126-130). Two modes, one command:
+#   - RESUME: if $RUN/exp/.../checkpoints/ckpt.npz exists, is_continue=true
+#     picks up at the checkpointed anchor (phase-level resume incl. sup pool).
+#   - FRESH: runs/ is gitignored scratch and resets between rounds; when the
+#     scene pano is gone the script regenerates it (synthetic cube room at
+#     the reference 2048x1024 supervision size) and starts the record from
+#     zero (~5 h at the 611 s steady bucketed cycle — only start this with
+#     that much idle-chip runway).
 #
-#   bash tools/resume_flagship.sh [run_dir]   # default runs/flagship_r3
+#   bash tools/resume_flagship.sh [run_dir]   # default runs/flagship_r4
 #
 # Runs ONE TPU process (this box has one CPU core; never run anything else
-# against the chip while this is in flight). Expected steady-state cost:
-# ~10.2 min/anchor (611 s best bucketed cycle) => ~2.6 h for anchors 9-23,
-# then render_dense for the full traverse video.
+# against the chip while this is in flight). A background loop copies
+# ts_log/metrics.jsonl into runs_evidence/ every 5 min so a tunnel death
+# mid-run still leaves a committed record.
 set -u
 cd "$(dirname "$0")/.."
-RUN=${1:-runs/flagship_r3}
+RUN=${1:-runs/flagship_r4}
+EVID=runs_evidence/$(basename "$RUN")
+mkdir -p "$EVID"
 
 python - <<'EOF' || { echo "tunnel dead — aborting"; exit 1; }
 import socket
@@ -21,10 +27,6 @@ s = socket.socket(); s.settimeout(5)
 s.connect(("127.0.0.1", 8082))
 EOF
 
-# runs/ is gitignored and the box's scratch filesystem resets between
-# rounds — if the flagship scene pano is gone, regenerate it (synthetic
-# cube room at the reference 2048x1024 supervision size, same generator
-# as tests/test_pipeline_e2e.py) and start the record fresh.
 if [ ! -f "$RUN/scene/cozy_room/image.png" ]; then
     echo "no scene pano under $RUN — bootstrapping a fresh flagship run"
     mkdir -p "$RUN/scene/cozy_room"
@@ -41,8 +43,20 @@ write_image(os.environ["RUN"] + "/scene/cozy_room/image.png",
             np.asarray(pano["rgb"]))
 EOF
 fi
-# is_continue=true is a no-op on a fresh exp dir (runner starts at phase 0)
 
+# evidence sync: metrics.jsonl + anchor stamps survive even if the tunnel
+# dies mid-run (runs/ is wiped between rounds; runs_evidence/ is committed)
+sync_evidence() {
+    while sleep 300; do
+        find "$RUN/exp" -name metrics.jsonl -exec cp {} "$EVID/metrics.jsonl" \; 2>/dev/null
+    done
+}
+sync_evidence &
+SYNC_PID=$!
+trap 'kill $SYNC_PID 2>/dev/null; find "$RUN/exp" -name metrics.jsonl -exec cp {} "$EVID/metrics.jsonl" \; 2>/dev/null' EXIT
+
+# is_continue=true resumes when a ckpt exists and is a guarded no-op on a
+# fresh exp dir (perf_tpu/app/runner.py prints "starting fresh")
 set -x
 python core_exp_runner.py --config-name nerf \
     "dataset.image_path=$RUN/scene/cozy_room/image.png" \
@@ -58,3 +72,5 @@ python core_exp_runner.py --config-name nerf \
     pers_inpainter_type=fake \
     is_continue=true mode=render_dense \
     2>&1 | tee -a "$RUN/resume.log"
+set +x
+tail -c 200000 "$RUN/resume.log" > "$EVID/resume_log_tail.txt" 2>/dev/null || true
