@@ -93,6 +93,84 @@ def brick_encode_ray_grouped(table, x, y, z, cfg, strides):
     return jnp.stack(outs, axis=-1)
 
 
+def brick_encode_ray_hybrid(table, x, y, z, cfg, strides):
+    """Group ONLY the stride>=2 (coarse, overhead-bound) levels; keep the
+    stride-1 fine levels as per-level gathers (millions of rows each — the
+    regime where brick_encode_stacked's docstring records stacking as
+    slower). Same contract/ordering as brick_encode_ray."""
+    from perf_tpu.kernels.brickgrid import encode_brick_level
+    from perf_tpu.kernels.hashgrid import _lerp_upsample
+
+    smooth = cfg.interpolation == "smoothstep"
+    nf = cfg.n_features
+    fine = [lvl for lvl in range(cfg.n_levels) if strides[lvl] == 1]
+    outs_g = brick_encode_ray_grouped_partial(table, x, y, z, cfg, strides,
+                                              skip={1})
+    outs = list(outs_g)
+    for lvl in fine:
+        feats = encode_brick_level(
+            table[lvl], cfg.level_res(lvl), cfg.level_bricks(lvl), x, y, z,
+            smooth, cfg.bf16_table, nf)
+        for f in range(nf):
+            outs[lvl * nf + f] = feats[f]
+    return jnp.stack(outs, axis=-1)
+
+
+def brick_encode_ray_grouped_partial(table, x, y, z, cfg, strides, skip=()):
+    """Grouped encode returning the flat per-(level, feature) list, with
+    stride values in ``skip`` left as None (filled by the caller)."""
+    from perf_tpu.kernels.brickgrid import (
+        _axis_split, _brick_index, _interp_from_rows, corner_interp_lowp,
+    )
+    from perf_tpu.kernels.hashgrid import _lerp_upsample
+
+    smooth = cfg.interpolation == "smoothstep"
+    n, s = x.shape
+    nf = cfg.n_features
+    nb_rows = table.shape[1]
+    flat_table = table.reshape(cfg.n_levels * nb_rows, table.shape[-1])
+
+    groups = {}
+    for lvl in range(cfg.n_levels):
+        groups.setdefault(strides[lvl], []).append(lvl)
+
+    outs = [None] * (cfg.n_levels * nf)
+    for k, lvls in sorted(groups.items()):
+        if k in skip:
+            continue
+        if k == 1:
+            xs, ys, zs = x, y, z
+        else:
+            assert s % k == 0
+            xs = jnp.concatenate([x[:, ::k], x[:, -1:]], axis=1)
+            ys = jnp.concatenate([y[:, ::k], y[:, -1:]], axis=1)
+            zs = jnp.concatenate([z[:, ::k], z[:, -1:]], axis=1)
+        rows_l, locs_l, fracs_l = [], [], []
+        for lvl in lvls:
+            res = cfg.level_res(lvl)
+            nb = cfg.level_bricks(lvl)
+            bx, lx, fx = _axis_split(xs, res, smooth)
+            by, ly, fy = _axis_split(ys, res, smooth)
+            bz, lz, fz = _axis_split(zs, res, smooth)
+            rows_l.append(_brick_index(bx, by, bz, nb, nb_rows)
+                          + lvl * nb_rows)
+            locs_l.append((lx, ly, lz))
+            fracs_l.append((fx, fy, fz))
+        rows = jnp.stack(rows_l)                         # [G, N, P]
+        locs = tuple(jnp.stack([locs_l[g][a] for g in range(len(lvls))])
+                     for a in range(3))
+        fracs = tuple(jnp.stack([fracs_l[g][a] for g in range(len(lvls))])
+                      for a in range(3))
+        if cfg.bf16_table:
+            feats = corner_interp_lowp(nf, flat_table, rows, locs, fracs)
+        else:
+            feats = _interp_from_rows(flat_table[rows], locs, fracs, nf)
+        for gi, lvl in enumerate(lvls):
+            for f in range(nf):
+                outs[lvl * nf + f] = _lerp_upsample(feats[f][gi], k, s)
+    return outs
+
+
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(jnp.ravel(leaf)[0])
@@ -145,46 +223,54 @@ def main():
     y = jnp.clip(o[:, 1:2] + d[:, 1:2] * t, 0.0, 1.0)
     z = jnp.clip(o[:, 2:3] + d[:, 2:3] * t, 0.0, 1.0)
 
-    base = jax.jit(lambda tb, x, y, z: brick_encode_ray(tb, x, y, z, cfg,
-                                                        strides))
-    grouped = jax.jit(lambda tb, x, y, z: brick_encode_ray_grouped(
-        tb, x, y, z, cfg, strides))
+    variants = {
+        "per-level": brick_encode_ray,
+        "grouped": brick_encode_ray_grouped,
+        "hybrid": brick_encode_ray_hybrid,
+    }
+    fns = {name: jax.jit(lambda tb, x, y, z, fn=fn: fn(tb, x, y, z, cfg,
+                                                       strides))
+           for name, fn in variants.items()}
 
     # -- parity (fwd + table grads) --------------------------------------
-    fa = base(table, x, y, z)
-    fb = grouped(table, x, y, z)
-    err = float(jnp.max(jnp.abs(fa - fb)))
-    print(f"fwd parity: max|diff| = {err:.2e}")
-    assert err < 1e-5, "grouped encode diverges from per-level encode"
+    fa = fns["per-level"](table, x, y, z)
+    for name in ("grouped", "hybrid"):
+        fb = fns[name](table, x, y, z)
+        err = float(jnp.max(jnp.abs(fa - fb)))
+        print(f"fwd parity [{name}]: max|diff| = {err:.2e}")
+        assert err < 1e-5, f"{name} encode diverges from per-level encode"
 
-    def loss_a(tb):
-        return jnp.sum(jnp.sin(brick_encode_ray(tb, x, y, z, cfg, strides)))
+    def make_loss(fn):
+        def loss(tb):
+            return jnp.sum(jnp.sin(fn(tb, x, y, z, cfg, strides)))
+        return loss
 
-    def loss_b(tb):
-        return jnp.sum(jnp.sin(brick_encode_ray_grouped(tb, x, y, z, cfg,
-                                                        strides)))
-
-    ga = jax.jit(jax.grad(loss_a))(table)
-    gb = jax.jit(jax.grad(loss_b))(table)
-    gerr = float(jnp.max(jnp.abs(ga - gb)))
+    grads = {name: jax.jit(jax.grad(make_loss(fn)))
+             for name, fn in variants.items()}
+    ga = grads["per-level"](table)
     scale = float(jnp.max(jnp.abs(ga))) + 1e-12
-    print(f"grad parity: max|diff| = {gerr:.2e} (rel {gerr / scale:.2e})")
-    assert gerr / scale < 1e-4, "grouped vjp diverges"
+    for name in ("grouped", "hybrid"):
+        gb = grads[name](table)
+        gerr = float(jnp.max(jnp.abs(ga - gb)))
+        print(f"grad parity [{name}]: max|diff| = {gerr:.2e} "
+              f"(rel {gerr / scale:.2e})")
+        assert gerr / scale < 1e-4, f"{name} vjp diverges"
 
     # -- timing -----------------------------------------------------------
     I = args.iters
-    res = {
-        "per-level fwd": timed(base, table, x, y, z, iters=I),
-        "grouped   fwd": timed(grouped, table, x, y, z, iters=I),
-        "per-level fwd+bwd": timed(jax.jit(jax.grad(loss_a)), table, iters=I),
-        "grouped   fwd+bwd": timed(jax.jit(jax.grad(loss_b)), table, iters=I),
-    }
+    res = {}
+    for name in variants:
+        res[f"{name} fwd"] = timed(fns[name], table, x, y, z, iters=I)
+    for name in variants:
+        res[f"{name} fwd+bwd"] = timed(grads[name], table, iters=I)
     print(f"\nshape: {n} rays x {s} samples, "
           f"platform {jax.devices()[0].platform}")
     for k, v in res.items():
         print(f"  {k:20s} {v:8.1f} ms")
-    speedup = res["per-level fwd+bwd"] / res["grouped   fwd+bwd"]
-    print(f"\nfwd+bwd speedup: {speedup:.2f}x "
+    base_t = res["per-level fwd+bwd"]
+    best = min(("grouped", "hybrid"), key=lambda nm: res[f"{nm} fwd+bwd"])
+    speedup = base_t / res[f"{best} fwd+bwd"]
+    print(f"\nbest variant: {best}, fwd+bwd speedup {speedup:.2f}x "
           f"({'WIN — wire into brickgrid' if speedup > 1.05 else 'no win'})")
 
 
