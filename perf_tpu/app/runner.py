@@ -314,9 +314,20 @@ class CoreRunner:
             if raw_only:
                 return
 
+        # graceful wall-clock deadline: long records (24 anchors ~ 5 h) must
+        # never be killed mid-dispatch (a mid-flight kill can take the axon
+        # tunnel down with it). PERF_TPU_DEADLINE_TS (unix seconds) makes the
+        # loop exit cleanly at the last anchor checkpoint instead; resuming
+        # with is_continue=true picks up at the same anchor.
+        deadline = float(os.environ.get("PERF_TPU_DEADLINE_TS", "0") or 0)
         for anchor_idx in range(self.pose_sampler.n_anchors):
             if anchor_idx < self.phase:
                 continue
+            if deadline and time.time() > deadline:
+                print(f"[perf_tpu] deadline reached — stopping before anchor "
+                      f"{anchor_idx} ({self.phase}/{self.pose_sampler.n_anchors}"
+                      f" done, checkpoint saved)")
+                return
             anchor_t0 = time.perf_counter()
             pose = jnp.asarray(self.pose_sampler.sample_pose(anchor_idx))
             rays = gen_pano_rays(pose, h, w)

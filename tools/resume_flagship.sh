@@ -56,7 +56,11 @@ SYNC_PID=$!
 trap 'kill $SYNC_PID 2>/dev/null; find "$RUN/exp" -name metrics.jsonl -exec cp {} "$EVID/metrics.jsonl" \; 2>/dev/null' EXIT
 
 # is_continue=true resumes when a ckpt exists and is a guarded no-op on a
-# fresh exp dir (perf_tpu/app/runner.py prints "starting fresh")
+# fresh exp dir (perf_tpu/app/runner.py prints "starting fresh").
+# DEADLINE_TS (unix seconds, optional) makes the anchor loop exit cleanly at
+# the last checkpoint instead of running into a round boundary where an
+# orphan kill mid-dispatch could take the tunnel down.
+export PERF_TPU_DEADLINE_TS="${DEADLINE_TS:-0}"
 set -x
 python core_exp_runner.py --config-name nerf \
     "dataset.image_path=$RUN/scene/cozy_room/image.png" \
@@ -64,13 +68,20 @@ python core_exp_runner.py --config-name nerf \
     pers_inpainter_type=fake \
     is_continue=true mode=train \
     2>&1 | tee -a "$RUN/resume.log"
-
-# full traverse video once training completes
-python core_exp_runner.py --config-name nerf \
-    "dataset.image_path=$RUN/scene/cozy_room/image.png" \
-    "device.base_exp_dir=$RUN/exp" \
-    pers_inpainter_type=fake \
-    is_continue=true mode=render_dense \
-    2>&1 | tee -a "$RUN/resume.log"
 set +x
+
+# full traverse video once training completes (skip when inside the last
+# 10 min before the deadline — render_dense is ~2-3 min but not free)
+if [ "${DEADLINE_TS:-0}" != "0" ] && [ "$(date +%s)" -gt "$((DEADLINE_TS - 600))" ]; then
+    echo "deadline close — skipping render_dense traverse"
+else
+    set -x
+    python core_exp_runner.py --config-name nerf \
+        "dataset.image_path=$RUN/scene/cozy_room/image.png" \
+        "device.base_exp_dir=$RUN/exp" \
+        pers_inpainter_type=fake \
+        is_continue=true mode=render_dense \
+        2>&1 | tee -a "$RUN/resume.log"
+    set +x
+fi
 tail -c 200000 "$RUN/resume.log" > "$EVID/resume_log_tail.txt" 2>/dev/null || true
