@@ -50,6 +50,16 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--rays", type=int, default=8192)
+    # parametric grid ablation (BASELINE.md round-4: the geo step is at the
+    # platform row-gather floor, rows/sample scales with n_levels — these
+    # flags measure the step at alternative ladders; pass --per-level-scale
+    # to keep the finest level resolution when shrinking n_levels)
+    ap.add_argument("--n-levels", type=int, default=None)
+    ap.add_argument("--log2-bricks", type=int, default=None)
+    ap.add_argument("--per-level-scale", type=float, default=None)
+    ap.add_argument("--full-only", action="store_true",
+                    help="time only the FULL geo/app steps (2 compiles "
+                         "instead of ~9 — for chip-window ablations)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -68,7 +78,20 @@ def main():
     from perf_tpu.utils import render_cube_room_pano
 
     h, w = 1024, 2048
-    field_cfg = NGPFieldConfig(grid=BrickGridConfig())
+    grid_kw = {}
+    if args.n_levels is not None:
+        grid_kw["n_levels"] = args.n_levels
+    if args.log2_bricks is not None:
+        grid_kw["log2_bricks"] = args.log2_bricks
+    if args.per_level_scale is not None:
+        grid_kw["per_level_scale"] = args.per_level_scale
+    grid_cfg = BrickGridConfig(**grid_kw)
+    if grid_kw:
+        print(f"grid ablation: n_levels={grid_cfg.n_levels} "
+              f"log2_bricks={grid_cfg.log2_bricks} "
+              f"scale={grid_cfg.per_level_scale:.4f} "
+              f"finest_res={grid_cfg.level_res(grid_cfg.n_levels - 1)}")
+    field_cfg = NGPFieldConfig(grid=grid_cfg)
     render_cfg = RenderConfig()
     pool = SupInfoPool()
     for off in ((0.0, 0.0, 0.0), (0.38, 0.0, 0.0), (-0.3, 0.18, 0.0),
@@ -98,6 +121,22 @@ def main():
     gt_dist = arrs["distances"][idx]
     I = args.iters
     res = {}
+
+    if args.full_only:
+        adam = optax.scale_by_adam(eps=1e-8)
+        step0 = jnp.asarray(0.0, jnp.float32)
+        run_chunk = scene._get_phase_fn("geo", int(arrs["rays_o"].shape[0]))
+        res["FULL geo step"] = timed(run_chunk, params["geo"], params["app"],
+                                     adam.init(params["geo"]), occ, arrs,
+                                     key, step0, iters=I)
+        run_app = scene._get_phase_fn("app", int(arrs["rays_o"].shape[0]))
+        res["FULL app step"] = timed(run_app, params["app"], params["geo"],
+                                     adam.init(params["app"]), occ, arrs,
+                                     key, step0, iters=I)
+        print(f"\nshape: {args.rays} rays, budget {budget}, plan {plan}")
+        for k, v in res.items():
+            print(f"  {k:34s} {v:8.1f} ms")
+        return
 
     mw = jax.jit(lambda o, d, k: march_windows(occ, o, d, k, rc, True))
     res["march_windows (probe)"] = timed(mw, o, d, key, iters=I)
