@@ -32,6 +32,14 @@ A100_RENDER_FPS = 2.0             # documented assumption, BASELINE.md
 A100_TRAIN_RAYS_PER_SEC_DERIVED = 1.6e6
 A100_RENDER_FPS_DERIVED = 8.0
 
+# Round-4: 2-voxel snapshot marching (march_coarse=16 + sample_stride=16)
+# halves samples/pixel on the compute/row-bound frame. The bench scene is
+# not converged, so the 50 dB quality gate CANNOT run here — it runs on
+# the converged flagship scene (tools/bench_snap_coarse.py, BASELINE.md
+# round-4). This flag records that verdict: until the sweep proves the
+# bar holds, the coarse fps is measured into extras but NOT headlined.
+COARSE_SNAPSHOT_QUALITY_OK = False
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -278,6 +286,39 @@ def main():
         scene._snap_cfg = _dc.replace(scene._snap_cfg, frame_dispatch=False)
     fps = max(fps_chunked, fps_frame)
 
+    # coarse-march A/B (round-4): 2-voxel marching via march_coarse=16 +
+    # sample_stride=16 — the one render lever left after frame_dispatch /
+    # K-frame / int8 / grouped-encode all measured dead (BASELINE.md).
+    # Quality is gated on the CONVERGED flagship scene by
+    # tools/bench_snap_coarse.py; COARSE_SNAPSHOT_QUALITY_OK holds that
+    # verdict. coarse_vs_s8_db records frame agreement on this scene.
+    fps_coarse = 0.0
+    coarse_vs_s8_db = None
+    coarse_error = None
+    if True:  # runs under --tiny too so the smoke validates the path
+        try:
+            from perf_tpu.render.snapshot import SnapshotConfig
+            rc16 = _dc.replace(render_cfg, march_coarse=16)
+            scene16 = NeRFScene(field_cfg, rc16, train_cfg,
+                                jax.random.PRNGKey(0))
+            scene16.load_state_dict(scene.state_dict())
+            snap_kw = {"res": 128} if args.tiny else {}
+            scene16.bake_snapshot(SnapshotConfig(sample_stride=16, **snap_kw))
+            out16 = scene16.render_snapshot(rays, ("rgb", "distance"))
+            float(out16["rgb"][0, 0, 0])
+            t0 = time.perf_counter()
+            for i in range(args.frames):
+                out16 = scene16.render_snapshot(rays, ("rgb", "distance"))
+            float(out16["rgb"][0, 0, 0])
+            fps_coarse = args.frames / (time.perf_counter() - t0)
+            mse = float(np.mean((np.asarray(out16["rgb"], np.float64)
+                                 - np.asarray(out["rgb"], np.float64)) ** 2))
+            coarse_vs_s8_db = round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 1)
+            if COARSE_SNAPSHOT_QUALITY_OK:
+                fps = max(fps, fps_coarse)
+        except Exception as e:  # noqa: BLE001 — chip-unproven path, see above
+            coarse_error = f"{type(e).__name__}: {e}"[:200]
+
     # field-path render (no bake), one frame for the record
     key = jax.random.PRNGKey(2)
     out_f = scene.render(rays, ("rgb", "distance"), key=key)
@@ -313,6 +354,10 @@ def main():
             "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
             "render_fps_chunked": round(fps_chunked, 3),
             "render_fps_frame_dispatch": round(fps_frame, 3),
+            "render_fps_coarse_s16": round(fps_coarse, 3),
+            "coarse_vs_s8_db": coarse_vs_s8_db,
+            "coarse_quality_ok": COARSE_SNAPSHOT_QUALITY_OK,
+            "coarse_error": coarse_error,
             "render_fps_field_path": round(field_fps, 3),
             "snapshot_bake_sec": round(bake_s, 1),
             "batch": batch, "max_samples": render_cfg.max_samples,

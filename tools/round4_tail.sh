@@ -32,6 +32,14 @@ python tools/summarize_run.py runs/flagship_r4/exp/*/nerf_experiment \
     > runs_evidence/flagship_r4/summary.txt 2>&1
 stamp "summary written"
 
+# bench.py smoke (CPU, validates the new coarse-s16 A/B path before the
+# driver's round-end bench; runs only once the chip process has exited so
+# it can't starve the record's host work)
+stamp "bench smoke start"
+timeout 900 python bench.py --tiny --cpu \
+    > "$EVID/bench_smoke.out" 2> "$EVID/bench_smoke.err"
+stamp "bench smoke done rc=$? ($(tail -c 120 "$EVID/bench_smoke.out" 2>/dev/null | head -c 120))"
+
 python - <<'EOF' || { stamp "tunnel dead — skipping chip steps"; exit 0; }
 import socket
 s = socket.socket(); s.settimeout(5)
