@@ -32,13 +32,16 @@ A100_RENDER_FPS = 2.0             # documented assumption, BASELINE.md
 A100_TRAIN_RAYS_PER_SEC_DERIVED = 1.6e6
 A100_RENDER_FPS_DERIVED = 8.0
 
-# Round-4: 2-voxel snapshot marching (march_coarse=16 + sample_stride=16)
-# halves samples/pixel on the compute/row-bound frame. The bench scene is
-# not converged, so the 50 dB quality gate CANNOT run here — it runs on
-# the converged flagship scene (tools/bench_snap_coarse.py, BASELINE.md
-# round-4). This flag records that verdict: until the sweep proves the
-# bar holds, the coarse fps is measured into extras but NOT headlined.
-COARSE_SNAPSHOT_QUALITY_OK = False
+# Round-5: coarse snapshot marching (SnapshotConfig.march_coarse +
+# sample_stride) cuts samples/pixel on the compute/row-bound frame. The
+# bench scene is not converged, so the 50 dB quality gate CANNOT run here —
+# it ran on the converged flagship scene (tools/bench_snap_coarse.py,
+# BASELINE.md round-5 ladder): s16 3.20 fps but 47.7 dB (FAILS the bar),
+# s12 2.94 fps at 50.67 dB (HOLDS, novel-pose +1.0 dB) -> s12 is the
+# production default (configs/nerf.yaml snapshot block) and this flag
+# headlines its fps. The A/B below measures the production variant.
+COARSE_SNAPSHOT_QUALITY_OK = True
+COARSE_VARIANT = {"march_coarse": 12, "sample_stride": 12}
 
 
 def main():
@@ -212,38 +215,10 @@ def main():
     app_sps, app_loss = time_phase(scene, "app", arrs_f, args.steps)
     train_rays_per_sec = episode_rays_per_sec(geo_sps, app_sps)
 
-    # run-dedup A/B (kernels/brickgrid.brick_encode_ray_dedup: one row
-    # gather per brick RUN + one-hot MXU re-expand, ~2x fewer encode rows
-    # at flagship occupancy): time the same phases with dedup_runs=True
-    # and headline the better MEASURED episode throughput. CPU-verified
-    # for parity (tests/test_brickgrid.py); runs at the FLAGSHIP pool —
-    # the regime the round-3 single-pano A/B could not represent
-    # (BASELINE.md:399-407).
-    geo_sps_d = app_sps_d = None
-    dedup_error = None
-    if not args.tiny and args.field == "brick":
-        # chip-unproven path: never let its failure lose the measured
-        # headline above (the whole point of the A/B is the verdict)
-        try:
-            import dataclasses
-            scene_d = NeRFScene(field_cfg, render_cfg,
-                                dataclasses.replace(train_cfg,
-                                                    dedup_runs=True),
-                                jax.random.PRNGKey(0))
-            scene_d.occ_grid = scene.occ_grid
-            scene_d.sample_budget = scene_d.select_sample_budget(arrs_f)
-            # steady-state step time needs far fewer samples than the
-            # headline number — keep the A/B from doubling bench wall-clock
-            geo_sps_d, _ = time_phase(scene_d, "geo", arrs_f,
-                                      min(args.steps, 150))
-            app_sps_d, _ = time_phase(scene_d, "app", arrs_f,
-                                      min(args.steps, 150))
-            train_rays_per_sec = max(
-                train_rays_per_sec,
-                episode_rays_per_sec(geo_sps_d, app_sps_d))
-        except Exception as e:  # noqa: BLE001 — record, don't die
-            dedup_error = f"{type(e).__name__}: {e}"[:200]
-            geo_sps_d = app_sps_d = None
+    # run-dedup A/B: REMOVED round 5 — the verdict is final (LOSES at real
+    # flagship occupancy, BASELINE.md round-4: rows halve 698->386 but the
+    # one-hot re-expansion costs more than the rows saved); re-proving a
+    # loss burned ~300 steps of driver wall-clock every round.
 
     # render throughput — the production path (render_dense) bakes the
     # field once into the snapshot grid and renders every frame through
@@ -298,21 +273,22 @@ def main():
     if True:  # runs under --tiny too so the smoke validates the path
         try:
             from perf_tpu.render.snapshot import SnapshotConfig
-            rc16 = _dc.replace(render_cfg, march_coarse=16)
-            scene16 = NeRFScene(field_cfg, rc16, train_cfg,
-                                jax.random.PRNGKey(0))
-            scene16.load_state_dict(scene.state_dict())
+            rgb_s8 = np.asarray(out["rgb"], np.float64)  # host-side ref
             snap_kw = {"res": 128} if args.tiny else {}
-            scene16.bake_snapshot(SnapshotConfig(sample_stride=16, **snap_kw))
-            out16 = scene16.render_snapshot(rays, ("rgb", "distance"))
+            # re-bake the SAME scene with the snapshot-path march override
+            # (SnapshotConfig.march_coarse) — one scene, one resident table
+            # (a second full-res bake alongside the first doubled snapshot
+            # HBM on the 16 GB chip)
+            scene.bake_snapshot(SnapshotConfig(**COARSE_VARIANT, **snap_kw))
+            out16 = scene.render_snapshot(rays, ("rgb", "distance"))
             float(out16["rgb"][0, 0, 0])
             t0 = time.perf_counter()
             for i in range(args.frames):
-                out16 = scene16.render_snapshot(rays, ("rgb", "distance"))
+                out16 = scene.render_snapshot(rays, ("rgb", "distance"))
             float(out16["rgb"][0, 0, 0])
             fps_coarse = args.frames / (time.perf_counter() - t0)
             mse = float(np.mean((np.asarray(out16["rgb"], np.float64)
-                                 - np.asarray(out["rgb"], np.float64)) ** 2))
+                                 - rgb_s8) ** 2))
             coarse_vs_s8_db = round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 1)
             if COARSE_SNAPSHOT_QUALITY_OK:
                 fps = max(fps, fps_coarse)
@@ -340,8 +316,6 @@ def main():
                 fps / A100_RENDER_FPS_DERIVED, 3),
             "geo_steps_per_sec": round(geo_sps, 2),
             "app_steps_per_sec": round(app_sps, 2),
-            "geo_steps_per_sec_dedup": geo_sps_d and round(geo_sps_d, 2),
-            "app_steps_per_sec_dedup": app_sps_d and round(app_sps_d, 2),
             # single-pano raw-fit regime (BENCH_r01-r03 comparable series)
             "raw_geo_steps_per_sec": round(geo_sps_raw, 2),
             "raw_app_steps_per_sec": round(app_sps_raw, 2),
@@ -354,7 +328,8 @@ def main():
             "render_fps_vs_baseline": round(fps / A100_RENDER_FPS, 3),
             "render_fps_chunked": round(fps_chunked, 3),
             "render_fps_frame_dispatch": round(fps_frame, 3),
-            "render_fps_coarse_s16": round(fps_coarse, 3),
+            "render_fps_coarse": round(fps_coarse, 3),
+            "coarse_variant": COARSE_VARIANT,
             "coarse_vs_s8_db": coarse_vs_s8_db,
             "coarse_quality_ok": COARSE_SNAPSHOT_QUALITY_OK,
             "coarse_error": coarse_error,
@@ -363,7 +338,7 @@ def main():
             "batch": batch, "max_samples": render_cfg.max_samples,
             "sample_budget": scene.sample_budget,
             "bucket_plan": list(scene.bucket_plan or ()),
-            "dedup_error": dedup_error, "frame_dispatch_error": frame_error,
+            "frame_dispatch_error": frame_error,
             "geo_loss": geo_loss, "app_loss": app_loss,
             "setup_sec": round(setup_s, 1),
             "platform": jax.devices()[0].platform,

@@ -116,6 +116,8 @@ def _train_config(tc: Config) -> TrainConfig:
         bucket_train=tc.get("bucket_train", True),
         dedup_runs=tc.get("dedup_runs", False),
         app_sample_stride=tc.get("app_sample_stride", 2),
+        geo_sample_stride=tc.get("geo_sample_stride", 1),
+        occ_field_prune=tc.get("occ_field_prune", False),
         vis_freq=tc.get("vis_freq", 0),
         vis_video_freq=tc.get("vis_video_freq", 0),
         ignore_near=tc.get("ignore_near", True),
@@ -146,6 +148,28 @@ class CoreRunner:
         os.makedirs(record_dir, exist_ok=True)
         with open(pjoin(record_dir, "config.yaml"), "w") as f:
             f.write(conf.to_yaml())
+        # source backup for reproducibility (reference parity:
+        # core_exp_runner.py:49-62 copies the code tree into exp_dir/record;
+        # one zip of the package + configs keeps the exp self-describing
+        # without a 10k-file copy)
+        try:
+            import zipfile
+            pkg_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            with zipfile.ZipFile(pjoin(record_dir, "src_backup.zip"), "w",
+                                 zipfile.ZIP_DEFLATED) as zf:
+                for base in (pkg_root,
+                             pjoin(os.path.dirname(pkg_root), "configs")):
+                    for root, _, files in os.walk(base):
+                        if "__pycache__" in root:
+                            continue
+                        for fn in files:
+                            if fn.endswith((".py", ".yaml", ".cpp")):
+                                p = pjoin(root, fn)
+                                zf.write(p, os.path.relpath(
+                                    p, os.path.dirname(pkg_root)))
+        except OSError:            # never fail a run over a backup
+            pass
 
         # scene
         sc = conf["scene"]
@@ -215,6 +239,8 @@ class CoreRunner:
             res=int(self.conf.get_path("snapshot.res", _sd.res)),
             sample_stride=self.conf.get_path("snapshot.sample_stride",
                                              _sd.sample_stride),
+            march_coarse=self.conf.get_path("snapshot.march_coarse",
+                                            _sd.march_coarse),
             dedup_ratio=float(self.conf.get_path("snapshot.dedup_ratio",
                                                  _sd.dedup_ratio)),
             frame_dispatch=bool(self.conf.get_path(

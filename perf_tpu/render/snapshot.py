@@ -59,6 +59,14 @@ class SnapshotConfig:
     # per-sample gather rows (1.57 -> 2.14 fps at 1024x512). A fixed value
     # is a footgun: the right stride depends on the RenderConfig step.
     sample_stride: int | None = None
+    # snapshot-path march window granularity (fine steps per window);
+    # None -> inherit RenderConfig.march_coarse. The stride must divide the
+    # window, so 2-voxel sampling (sample_stride=16) needs 16-step windows —
+    # this knob gives the SNAPSHOT march its own granularity instead of
+    # forcing a second march_coarse=16 scene (the round-4 bench A/B hack).
+    # Gated by the 50 dB snapshot bar on a converged flagship scene
+    # (tools/bench_snap_coarse.py; BASELINE.md round-5).
+    march_coarse: int | None = None
     bake_chunk: int = 1 << 21   # field-eval points per bake dispatch
     # eval sample cap at the snapshot stride; None -> 256 // stride
     # (the field path's cap, shrunk by the sparser in-window sampling)
@@ -87,13 +95,14 @@ class SnapshotConfig:
         return self.res // BRICK + 1
 
     def resolve_stride(self, render_cfg: RenderConfig) -> int:
+        mc = self.march_coarse or render_cfg.march_coarse
         if self.sample_stride is not None:
             return self.sample_stride
         voxel = 2.0 / self.res          # aabb spans [-1, 1]
         want = max(1, int(round(voxel / render_cfg.step)))
         stride = 1
-        for d in range(1, render_cfg.march_coarse + 1):
-            if render_cfg.march_coarse % d == 0 and d <= want:
+        for d in range(1, mc + 1):
+            if mc % d == 0 and d <= want:
                 stride = d
         return stride
 
@@ -181,8 +190,12 @@ def bake_snapshot(params: dict, field_cfg: NGPFieldConfig,
 
 def snapshot_render_cfg(render_cfg: RenderConfig,
                         cfg: SnapshotConfig) -> RenderConfig:
-    """March config for the snapshot: same ladder/windows/occupancy as the
-    field path, sparser in-window sampling at the bake grid's Nyquist."""
+    """March config for the snapshot: same ladder/occupancy as the field
+    path, sparser in-window sampling at the bake grid's Nyquist; the window
+    granularity itself can be overridden (``SnapshotConfig.march_coarse``)."""
+    if cfg.march_coarse:
+        render_cfg = dataclasses.replace(render_cfg,
+                                         march_coarse=cfg.march_coarse)
     stride = cfg.resolve_stride(render_cfg)
     assert render_cfg.march_coarse % stride == 0
     max_samples = cfg.max_samples or max(

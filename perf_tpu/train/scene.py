@@ -83,6 +83,32 @@ class TrainConfig:
     # and rgb rows; the march ladder (windows) is unchanged. 1 = exact
     # reference quadrature.
     app_sample_stride: int = 2
+    # geo-phase in-window sample stride. Unlike the app phase, this coarsens
+    # the quadrature of the TRAINED density (depth + distortion losses see
+    # delta = step*stride with half the samples), so it changes training
+    # numerics — gated by the CPU golden-fit test and the flagship quality
+    # bars (pytest -m flagship) before any default flip. Why it's the
+    # biggest remaining train lever: the geo phase is 99% fwd+bwd and
+    # ~75-80% encode-row traffic at the platform gather floor (BASELINE.md
+    # round-4 subtractive profile) — halving sample density halves the
+    # dominant row traffic, which no structural attack could (dedup /
+    # grouped / int8 all measured dead). The march ladder (windows) is
+    # unchanged. 1 = exact reference quadrature (nerf_renderer.py:145-155).
+    # Default 2 (round-5 measured): FULL geo step 90.3 -> 51.9 ms (1.74x)
+    # at the flagship bucketed pool, flagship quality fit IDENTICAL to
+    # stride-1 (38.53/53.65/34.00 dB vs 38.5/53.3/34.0 bars 35/50/31,
+    # depth MAEs equal or better — BASELINE.md round-5).
+    geo_sample_stride: int = 2
+    # deep-pool occupancy pruning (round-5 budget-creep counter, VERDICT r4
+    # item 3): before each episode, drop pool-shell voxels that (a) were in
+    # the PREVIOUS episode's grid (so the field trained through them) and
+    # (b) the fitted field marks empty under the reference's nerfacc
+    # binarization (density * 5e-3 > occ_thre 1e-2, nerf.py:150,164).
+    # Self-healing by construction: a wrongly dropped voxel is absent from
+    # the next episode's prune set, so it is restored and retrained — the
+    # prune can oscillate but never ratchet. Counters the bucket_s_low
+    # 80->176 creep of the 14-anchor record (BASELINE.md round-5 verdict).
+    occ_field_prune: bool = False
     # mid-episode visual diagnostics: every vis_freq train iterations render
     # a small pano preview from the CURRENT phase params (TB image + PNG in
     # the scene's vis_dir). The reference declares vis_freq in every config
@@ -156,10 +182,19 @@ class NeRFScene(Scene):
 
     def __init__(self, field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
                  train_cfg: TrainConfig, key: jax.Array,
-                 writer: MetricsWriter | None = None):
+                 writer: MetricsWriter | None = None, mesh=None):
         self.field_cfg = field_cfg
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
+        # optional jax.sharding.Mesh: shards the PRODUCTION bucketed train
+        # step's ray axis over the mesh's 'data' axis (params replicated,
+        # XLA inserts the grad psum; the occupancy argsort runs as a global
+        # distributed sort, so results match the single-device program).
+        # None = single-chip (identical program, no constraints). The
+        # reference is strictly single-GPU (core_exp_runner.py:266); this is
+        # the SURVEY §2.4 DP axis applied to the REAL trainer, not a
+        # simplified sibling.
+        self.mesh = mesh
         self.writer = writer or MetricsWriter(None)
         key, k = jax.random.split(key)
         self.key = key
@@ -184,6 +219,11 @@ class NeRFScene(Scene):
         # mid-episode previews (TrainConfig.vis_freq) also land here as PNGs
         # when set (the runner points it at exp_dir/fit_vis)
         self.vis_dir: str | None = None
+        # the occupancy grid the PREVIOUS episode trained through — the
+        # prune set for TrainConfig.occ_field_prune (deliberately NOT
+        # checkpointed: after a resume the first episode runs unpruned and
+        # the chain restarts, by design — see _field_prune_occ)
+        self._prev_occ: jnp.ndarray | None = None
         self._phase_fns = {}
 
     # -- helpers -------------------------------------------------------------
@@ -197,8 +237,18 @@ class NeRFScene(Scene):
         u = jax.random.uniform(key, (b,))
         idx = jnp.minimum((u * arrs["n_valid"]).astype(jnp.int32),
                           arrs["n_valid"] - 1)
-        return (arrs["rays_o"][idx], arrs["rays_d"][idx], arrs["colors"][idx],
-                arrs["distances"][idx])
+        out = (arrs["rays_o"][idx], arrs["rays_d"][idx], arrs["colors"][idx],
+               arrs["distances"][idx])
+        if self.mesh is not None:
+            # data-parallel train step: the sampled batch's ray axis shards
+            # over 'data' (pool arrays stay replicated — random gathers from
+            # a sharded pool would all-gather anyway); everything downstream
+            # (march, encode, MLP, composite, loss) partitions per-device
+            # and the replicated-param grads psum over ICI.
+            from ..parallel.mesh import ray_sharding
+            sh = ray_sharding(self.mesh)
+            out = tuple(jax.lax.with_sharding_constraint(x, sh) for x in out)
+        return out
 
     def select_sample_budget(self, arrs, probe_rays: int = 16384) -> int:
         """Smallest safe ``max_samples`` for the current occupancy grid.
@@ -290,6 +340,57 @@ class NeRFScene(Scene):
             caps.append(cap if cap < xs.shape[1] else 0)
         return tuple(caps) if any(caps) else None
 
+    def _field_prune_occ(self, occ_grid: jnp.ndarray, prev_occ: jnp.ndarray,
+                         tau: float = 1e-2, n_jitter: int = 2,
+                         chunk: int = 1 << 21) -> jnp.ndarray:
+        """Drop pool-shell voxels the previous episode's FITTED field marks
+        empty (see ``TrainConfig.occ_field_prune``). A voxel is kept iff it
+        passes the reference's nerfacc occupancy binarization — max density
+        over the center + ``n_jitter`` jittered in-voxel samples, thresholded
+        at ``density * 5e-3 > tau`` (``nerf.py:150,164``) — OR it is absent
+        from ``prev_occ`` (newly registered geometry the field has not
+        trained through yet). Fully device-side: ~3 density sweeps over the
+        voxel grid, a small fraction of one bake."""
+        from ..fields import query_density
+        res = self.render_cfg.occ_res
+        chunk = min(chunk, res ** 3)
+        fc = self.field_cfg
+        cache_key = ("prune", res, chunk, n_jitter, tau)
+        if cache_key not in self._phase_fns:
+
+            @jax.jit
+            def prune_chunk(geo, occ_c, prev_c, start, key):
+                idx = start + jnp.arange(chunk)
+                v = jnp.stack([idx // (res * res), (idx // res) % res,
+                               idx % res], -1)
+                base = ((v.astype(jnp.float32) + 0.5) / res - 0.5) * 2.0
+                dens = query_density(geo, base, fc)[..., 0]
+                for j in range(n_jitter):
+                    kj = jax.random.fold_in(key, j)
+                    pts = base + (jax.random.uniform(kj, base.shape) - 0.5) \
+                        * (2.0 / res)
+                    dens = jnp.maximum(dens, query_density(geo, pts, fc)[..., 0])
+                keep = ((dens * 5e-3) > tau) | (prev_c == 0)
+                return jnp.where(keep, occ_c, jnp.uint8(0))
+
+            self._phase_fns[cache_key] = prune_chunk
+        prune_chunk = self._phase_fns[cache_key]
+        key = self._next_key()
+        outs = []
+        n = res ** 3
+        for start in range(0, n, chunk):
+            sl = slice(start, min(start + chunk, n))
+            pad = chunk - (sl.stop - sl.start)
+            occ_c, prev_c = occ_grid[sl], prev_occ[sl]
+            if pad:
+                occ_c = jnp.concatenate([occ_c, jnp.zeros(pad, occ_c.dtype)])
+                prev_c = jnp.concatenate(
+                    [prev_c, jnp.zeros(pad, prev_c.dtype)])
+            out = prune_chunk(self.params["geo"], occ_c, prev_c,
+                              jnp.asarray(start, jnp.int32), key)
+            outs.append(out[:sl.stop - sl.start] if pad else out)
+        return jnp.concatenate(outs)
+
     # -- jitted phase runners --------------------------------------------------
 
     def _get_phase_fn(self, phase: str, capacity: int):
@@ -304,13 +405,14 @@ class NeRFScene(Scene):
         fc = self.field_cfg
         rc = dataclasses.replace(self.render_cfg, max_samples=budget,
                                  run_caps=caps)
-        if (phase == "app" and tc.app_sample_stride > 1
-                and rc.march_coarse % tc.app_sample_stride == 0
-                and budget % (2 * tc.app_sample_stride) == 0):
-            # coarser in-window quadrature for the frozen-geometry phase:
-            # same march windows (max_windows is unchanged), half the
-            # samples/rows (see TrainConfig.app_sample_stride)
-            st = tc.app_sample_stride
+        stride = (tc.app_sample_stride if phase == "app"
+                  else tc.geo_sample_stride)
+        if (stride > 1 and rc.march_coarse % stride == 0
+                and budget % (2 * stride) == 0):
+            # coarser in-window quadrature: same march windows (max_windows
+            # is unchanged), 1/stride the samples/rows (see
+            # TrainConfig.{app,geo}_sample_stride)
+            st = stride
             rc = dataclasses.replace(rc, sample_stride=st,
                                      max_samples=budget // st)
             if plan:
@@ -486,8 +588,15 @@ class NeRFScene(Scene):
     def fit(self, sup_pool: SupInfoPool):
         """One training episode over the current pool (``nerf.py:125-184``)."""
         tc = self.train_cfg
-        self.occ_grid = sup_pool.gen_occ_grid(self.render_cfg.occ_res,
-                                              self.render_cfg.occ_dilation)
+        occ = sup_pool.gen_occ_grid(self.render_cfg.occ_res,
+                                    self.render_cfg.occ_dilation)
+        if tc.occ_field_prune and self._prev_occ is not None \
+                and self.global_iter_geo > 0:
+            # prune with the PRE-reset field (fitted last episode) — must
+            # run before reset_geo below
+            occ = self._field_prune_occ(occ, self._prev_occ)
+        self._prev_occ = occ
+        self.occ_grid = occ
         self.params = reset_geo(self.params, self._next_key(), self.field_cfg)
         arrs = sup_pool.device_arrays()
         self.sample_budget = self.select_sample_budget(arrs)

@@ -76,6 +76,22 @@ def test_serve_renders_over_http():
 
         code, _, _ = _get(base + "/info")
         assert code == 200
+
+        # fixed-shape compile claim, regression-tested (VERDICT r4 item 10):
+        # after warmup, repeat renders must reuse the compiled program —
+        # a recompile costs SECONDS even on CPU (minutes on the tunneled
+        # chip), so a generous wall-clock bound per request catches any
+        # shape leak without being flaky on a loaded 1-core box.
+        import time
+        t0 = time.perf_counter()
+        n_lat = 3
+        for i in range(n_lat):
+            code, _, _ = _get(base + f"/render?px=0.0{i}&yaw=0.{i}")
+            assert code == 200
+        per_req = (time.perf_counter() - t0) / n_lat
+        assert per_req < 5.0, (
+            f"warm serve latency {per_req:.2f}s/request — fixed-shape "
+            "compile cache is not being reused")
     finally:
         httpd.shutdown()
 

@@ -54,6 +54,39 @@ def test_snapshot_matches_field_render():
     assert scene.snapshot is None
 
 
+def test_snapshot_march_coarse_override():
+    """``SnapshotConfig.march_coarse`` gives the snapshot march its own
+    window granularity (2-voxel sampling = march_coarse=16 + stride 16)
+    without rebuilding the scene at a different RenderConfig — the round-4
+    bench A/B needed a second full NeRFScene for this. Mechanical parity
+    gate only; the QUALITY verdict at flagship scale is
+    tools/bench_snap_coarse.py on a converged scene (BASELINE.md)."""
+    pool, pano = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+    rays = gen_pano_rays(jnp.eye(4), 32, 64)
+
+    s8 = SnapshotConfig(res=192, sample_stride=4, max_samples=64)
+    scene.bake_snapshot(s8)
+    ref = scene.render_snapshot(rays, ("rgb", "distance"), chunk=1024)
+    ref_rgb = np.asarray(ref["rgb"])
+
+    s16 = SnapshotConfig(res=192, march_coarse=16, sample_stride=16)
+    assert s16.resolve_stride(scene.render_cfg) == 16
+    scene.bake_snapshot(s16)
+    out = scene.render_snapshot(rays, ("rgb", "distance"), chunk=1024)
+
+    # 4x coarser in-window quadrature on a tiny low-res scene: agreement
+    # bar is loose (the chip tool owns the flagship 50 dB bar); this gate
+    # catches mechanical breakage (window bookkeeping, budget plumbing)
+    p_agree = psnr(np.asarray(out["rgb"]), ref_rgb)
+    assert p_agree > 18.0, p_agree
+    mask = np.asarray(pool.sup_infos[0].mask)[..., 0]
+    d_err = np.abs(np.asarray(out["distance"]) -
+                   np.asarray(ref["distance"]))[mask].mean()
+    assert d_err < 0.1, d_err
+
+
 def test_beam_plan_matches_per_ray_march():
     """The beam-plan path (frame_march_plan + planned chunks) must agree
     with the per-ray hierarchical march: the plan's dilated coarse grid

@@ -99,7 +99,6 @@ def brick_encode_ray_hybrid(table, x, y, z, cfg, strides):
     regime where brick_encode_stacked's docstring records stacking as
     slower). Same contract/ordering as brick_encode_ray."""
     from perf_tpu.kernels.brickgrid import encode_brick_level
-    from perf_tpu.kernels.hashgrid import _lerp_upsample
 
     smooth = cfg.interpolation == "smoothstep"
     nf = cfg.n_features
@@ -113,6 +112,10 @@ def brick_encode_ray_hybrid(table, x, y, z, cfg, strides):
             smooth, cfg.bf16_table, nf)
         for f in range(nf):
             outs[lvl * nf + f] = feats[f]
+    # grouped_partial leaves skipped stride groups as None — every slot
+    # must be filled before the stack or jnp.stack raises opaquely
+    assert all(o is not None for o in outs), \
+        "unfilled stride group: skip set does not match the fine levels"
     return jnp.stack(outs, axis=-1)
 
 

@@ -40,31 +40,39 @@ from perf_tpu.utils import render_cube_room_pano
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/qscene.npz"
 DEADLINE = float(os.environ.get("PERF_TPU_DEADLINE_TS", "0"))
-MARGIN = 420.0  # bake + a worst-case remote compile
+# worst-case remote compile (~420 s) + bake (~35 s) + 12 timed frames —
+# a variant admitted right at the margin must still FINISH before the
+# deadline (ADVICE r4: 420 covered the compile alone)
+MARGIN = 660.0
 
-# (label, march_coarse, SnapshotConfig kwargs) — priority order; the
-# deadline guard cuts from the tail.
+# (label, SnapshotConfig kwargs) — priority order; the deadline guard cuts
+# from the tail. march_coarse rides SnapshotConfig (round-5 production
+# knob) so ONE scene serves every variant. Round-5 first sweep verdicts
+# (runs_evidence/round5/snap_coarse.jsonl): s8 2.23 fps 53.35 dB;
+# s16 3.20 fps 47.73 dB (FAILS the 50 dB input-pose bar, novel +3.5 dB);
+# dedup {.5,.625,.75} all ~s8 fps (final, matches round 4). This second
+# sweep hunts the knee between s8 and s16.
 VARIANTS = [
-    ("baseline_s8", 8, {}),
-    ("coarse_s16", 16, {"sample_stride": 16}),
-    ("dedup50_s8", 8, {"dedup_ratio": 0.5}),
-    ("dedup625_s8", 8, {"dedup_ratio": 0.625}),
-    ("dedup75_s8", 8, {"dedup_ratio": 0.75}),
-    ("coarse_s16_dedup50", 16, {"sample_stride": 16, "dedup_ratio": 0.5}),
+    ("s12", {"march_coarse": 12, "sample_stride": 12}),
+    ("s16_r512", {"march_coarse": 16, "sample_stride": 16, "res": 512}),
+    ("s16_half", {"march_coarse": 16, "sample_stride": 8}),
+    ("baseline_s8", {}),
+    ("coarse_s16", {"march_coarse": 16, "sample_stride": 16}),
+    ("s12_r512", {"march_coarse": 12, "sample_stride": 12, "res": 512}),
 ]
 
 state = load_checkpoint(CKPT)
-scenes = {}
+_scene = None
 
 
-def get_scene(mc):
-    if mc not in scenes:
+def get_scene():
+    global _scene
+    if _scene is None:
         fc = NGPFieldConfig(grid=BrickGridConfig())
-        rc = RenderConfig(max_samples=256, eval_chunk=16384, march_coarse=mc)
-        s = NeRFScene(fc, rc, TrainConfig(), jax.random.PRNGKey(0))
-        s.load_state_dict(state)
-        scenes[mc] = s
-    return scenes[mc]
+        rc = RenderConfig(max_samples=256, eval_chunk=16384)
+        _scene = NeRFScene(fc, rc, TrainConfig(), jax.random.PRNGKey(0))
+        _scene.load_state_dict(state)
+    return _scene
 
 
 rays = gen_pano_rays(jnp.eye(4), 512, 1024)
@@ -82,11 +90,11 @@ def psnr(out, ref):
     return round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 2)
 
 
-for label, mc, kw in VARIANTS:
+for label, kw in VARIANTS:
     if DEADLINE and time.time() > DEADLINE - MARGIN:
         print(json.dumps({"variant": label, "skipped": "deadline"}))
         continue
-    scene = get_scene(mc)
+    scene = get_scene()
     t0 = time.perf_counter()
     scene.bake_snapshot(SnapshotConfig(**kw))
     bake_s = time.perf_counter() - t0
@@ -99,7 +107,7 @@ for label, mc, kw in VARIANTS:
     dt = (time.perf_counter() - t0) / 10
     out_n = scene.render_snapshot(rays_n, ("rgb", "distance"))
     print(json.dumps({
-        "variant": label, "march_coarse": mc, **kw,
+        "variant": label, **kw,
         "fps": round(1.0 / dt, 3), "ms_per_frame": round(dt * 1e3, 1),
         "psnr": psnr(out, gt_rgb), "psnr_novel": psnr(out_n, gt_n_rgb),
         "bake_sec": round(bake_s, 1),

@@ -45,6 +45,21 @@ def timed(fn, *a, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+# graceful wall-clock guard (ADVICE r4: a hard `timeout` SIGTERM can kill
+# the process mid-dispatch and take the axon tunnel down): callers set
+# PERF_TPU_DEADLINE_TS; each stage checks the clock BEFORE starting, with
+# margin for a worst-case remote compile + the timed iterations.
+_DEADLINE = float(os.environ.get("PERF_TPU_DEADLINE_TS", "0") or 0)
+
+
+def deadline_ok(margin=540.0):
+    if _DEADLINE and time.time() > _DEADLINE - margin:
+        print(f"[profile_bucketed] deadline within {margin:.0f}s — "
+              "skipping remaining stages", flush=True)
+        return False
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -60,6 +75,9 @@ def main():
     ap.add_argument("--full-only", action="store_true",
                     help="time only the FULL geo/app steps (2 compiles "
                          "instead of ~9 — for chip-window ablations)")
+    ap.add_argument("--geo-stride", type=int, default=None,
+                    help="TrainConfig.geo_sample_stride for the FULL-step "
+                         "timing (round-5 lever A/B)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -101,7 +119,10 @@ def main():
         pano = render_cube_room_pano(jnp.asarray(pose), h, w)
         pool.register_sup_info(pose, np.ones((h, w)), pano["rgb"],
                                pano["distance"], pano["normal"])
-    tc = TrainConfig(pixel_loss_batch_size=args.rays, scan_chunk=1)
+    tc_kw = {}
+    if args.geo_stride is not None:
+        tc_kw["geo_sample_stride"] = args.geo_stride
+    tc = TrainConfig(pixel_loss_batch_size=args.rays, scan_chunk=1, **tc_kw)
     scene = NeRFScene(field_cfg, render_cfg, tc, jax.random.PRNGKey(0))
     scene.occ_grid = pool.gen_occ_grid(render_cfg.occ_res)
     arrs = pool.device_arrays()
@@ -125,14 +146,18 @@ def main():
     if args.full_only:
         adam = optax.scale_by_adam(eps=1e-8)
         step0 = jnp.asarray(0.0, jnp.float32)
-        run_chunk = scene._get_phase_fn("geo", int(arrs["rays_o"].shape[0]))
-        res["FULL geo step"] = timed(run_chunk, params["geo"], params["app"],
-                                     adam.init(params["geo"]), occ, arrs,
-                                     key, step0, iters=I)
-        run_app = scene._get_phase_fn("app", int(arrs["rays_o"].shape[0]))
-        res["FULL app step"] = timed(run_app, params["app"], params["geo"],
-                                     adam.init(params["app"]), occ, arrs,
-                                     key, step0, iters=I)
+        if deadline_ok():
+            run_chunk = scene._get_phase_fn(
+                "geo", int(arrs["rays_o"].shape[0]))
+            res["FULL geo step"] = timed(
+                run_chunk, params["geo"], params["app"],
+                adam.init(params["geo"]), occ, arrs, key, step0, iters=I)
+        if deadline_ok():
+            run_app = scene._get_phase_fn(
+                "app", int(arrs["rays_o"].shape[0]))
+            res["FULL app step"] = timed(
+                run_app, params["app"], params["geo"],
+                adam.init(params["app"]), occ, arrs, key, step0, iters=I)
         print(f"\nshape: {args.rays} rays, budget {budget}, plan {plan}")
         for k, v in res.items():
             print(f"  {k:34s} {v:8.1f} ms")
@@ -221,24 +246,28 @@ def main():
     res["adam update"] = timed(adam_up, grads, opt_state, params["geo"],
                                iters=I)
 
-    run_chunk = scene._get_phase_fn("geo", int(arrs["rays_o"].shape[0]))
-    st = adam.init(params["geo"])
     step0 = jnp.asarray(0.0, jnp.float32)
-    res["FULL geo step"] = timed(run_chunk, params["geo"], params["app"],
-                                 st, occ, arrs, key, step0, iters=I)
+    if deadline_ok():
+        run_chunk = scene._get_phase_fn("geo", int(arrs["rays_o"].shape[0]))
+        st = adam.init(params["geo"])
+        res["FULL geo step"] = timed(run_chunk, params["geo"], params["app"],
+                                     st, occ, arrs, key, step0, iters=I)
 
-    run_app = scene._get_phase_fn("app", int(arrs["rays_o"].shape[0]))
-    st_a = adam.init(params["app"])
-    res["FULL app step"] = timed(run_app, params["app"], params["geo"],
-                                 st_a, occ, arrs, key, step0, iters=I)
+    if deadline_ok():
+        run_app = scene._get_phase_fn("app", int(arrs["rays_o"].shape[0]))
+        st_a = adam.init(params["app"])
+        res["FULL app step"] = timed(run_app, params["app"], params["geo"],
+                                     st_a, occ, arrs, key, step0, iters=I)
 
     print(f"\nshape: {args.rays} rays, budget {budget}, plan {plan}")
     for k, v in res.items():
         print(f"  {k:34s} {v:8.1f} ms")
-    full = res["FULL geo step"]
-    attributed = res["loss+grad"] + res["adam update"]
-    print(f"\nunattributed (FULL - loss+grad - adam): "
-          f"{full - attributed:8.1f} ms ({(full - attributed) / full:.0%})")
+    if "FULL geo step" in res:
+        full = res["FULL geo step"]
+        attributed = res["loss+grad"] + res["adam update"]
+        print(f"\nunattributed (FULL - loss+grad - adam): "
+              f"{full - attributed:8.1f} ms "
+              f"({(full - attributed) / full:.0%})")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,12 @@ def main():
                     help="save the fitted scene here (or load it if the "
                          "file exists) so snapshot variants can be "
                          "evaluated without re-fitting")
+    ap.add_argument("--n-levels", type=int, default=None,
+                    help="BrickGridConfig.n_levels ablation (keeps the "
+                         "finest level res via a recomputed scale)")
+    ap.add_argument("--geo-stride", type=int, default=None,
+                    help="TrainConfig.geo_sample_stride (round-5 lever: "
+                         "coarser geo quadrature — quality-gate the fit)")
     ap.add_argument("--snap-res", type=int, default=None)
     ap.add_argument("--snap-stride", type=int, default=None)
     ap.add_argument("--snap-dedup", type=float, default=None,
@@ -64,7 +70,14 @@ def main():
         args.render_hw = (64, 128)
     else:
         h, w = 1024, 2048
-        field_cfg = NGPFieldConfig(grid=BrickGridConfig())
+        grid_kw = {}
+        if args.n_levels:
+            d = BrickGridConfig()
+            fine = d.base_res * d.per_level_scale ** (d.n_levels - 1)
+            grid_kw = {"n_levels": args.n_levels,
+                       "per_level_scale": float(
+                           (fine / d.base_res) ** (1.0 / (args.n_levels - 1)))}
+        field_cfg = NGPFieldConfig(grid=BrickGridConfig(**grid_kw))
         render_cfg = RenderConfig(max_samples=args.samples,
                                   eval_chunk=16384)
         batch = 8192
@@ -77,7 +90,9 @@ def main():
     train_cfg = TrainConfig(
         pixel_loss_batch_size=batch,
         raw_phase_iter_geo=args.geo, raw_phase_iter_app=args.app,
-        scan_chunk=1 if not args.tiny else 5)
+        scan_chunk=1 if not args.tiny else 5,
+        **({"geo_sample_stride": args.geo_stride}
+           if args.geo_stride else {}))
     scene = NeRFScene(field_cfg, render_cfg, train_cfg, jax.random.PRNGKey(0))
     ckpt = args.scene_ckpt
     if ckpt and os.path.exists(ckpt):
