@@ -1,0 +1,60 @@
+"""Non-finite-gradient step guard.
+
+The reference trains every field under ``torch.cuda.amp.GradScaler``
+(``modules/scene/nerf.py``: ``scaler.scale(loss).backward(); scaler.step();
+scaler.update()``).  Beyond loss scaling — which plain f32 Adam absorbs —
+GradScaler has a second, load-bearing behavior: ``scaler.step(opt)`` SKIPS
+the optimizer step whenever any gradient is inf/NaN, so a single blown-up
+batch cannot poison the parameters.
+
+That protection matters at flagship scale: the round-5 24-anchor record hit
+exactly one non-finite batch in 75,000 geo steps (episode 20, step ~61.8k,
+losses healthy at 61800 and NaN at 61900) and, without the skip, the NaN
+flowed Adam -> params -> every subsequently rendered anchor pano, corrupting
+the back 5 anchors of the artifact.
+
+TPU-native equivalent: a scalar ``all_finite(grads)`` reduction plus a
+broadcasted ``where`` over the (params, opt_state) trees — no host sync, no
+``lax.cond`` branch (both sides are cheap elementwise selects XLA fuses into
+the update). Cost is one extra read of the gradient tree per step,
+~0.2 ms against the ~50-90 ms gather-bound flagship step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every leaf of ``tree`` is finite (no NaN / +-inf)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    ok = jnp.bool_(True)
+    for leaf in leaves:
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            ok = ok & jnp.isfinite(leaf).all()
+    return ok
+
+
+def tree_where(pred, new_tree, old_tree):
+    """Per-leaf ``where(pred, new, old)`` with a scalar predicate.
+
+    Used to commit-or-skip an optimizer update: ``pred`` is the
+    ``all_finite`` verdict on the gradients; when False the old params and
+    old optimizer state are kept verbatim (torch GradScaler skip semantics:
+    the step never happened, Adam moments and step count untouched).
+    """
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o), new_tree, old_tree)
+
+
+def guarded_step(grads, new_params, new_opt_state, params, opt_state):
+    """Commit (new_params, new_opt_state) iff all gradients are finite.
+
+    Returns ``(params, opt_state, finite)`` where ``finite`` is the scalar
+    bool verdict (callers log it so skipped steps are visible in metrics).
+    """
+    finite = all_finite(grads)
+    return (tree_where(finite, new_params, params),
+            tree_where(finite, new_opt_state, opt_state),
+            finite)

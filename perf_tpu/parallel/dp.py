@@ -22,6 +22,7 @@ from ..render.renderer import RenderConfig, render_rays
 from ..kernels.distortion import distortion_loss
 from ..train.schedule import OptimConfig, lr_at, smooth_l1
 from .mesh import shard_rays
+from ..core.optim import guarded_step
 
 
 def build_dp_train_step(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
@@ -81,8 +82,13 @@ def build_dp_train_step(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
             "app": jax.tree_util.tree_map(lambda p, u: p - lr_a * u,
                                           params["app"], up_a),
         }
+        # psum'd grads are identical on every device, so the finite verdict
+        # (and hence the skip) is replicated — no divergence across shards.
+        new_params, new_opt, _ = guarded_step(
+            {"geo": g_geo, "app": g_app}, new_params,
+            {"geo": st_g, "app": st_a}, params, opt_state)
         metrics = {"geo_loss": gl, "depth_loss": depth_l, "color_loss": al}
-        return new_params, {"geo": st_g, "app": st_a}, metrics
+        return new_params, new_opt, metrics
 
     return init_opt_state, train_step
 

@@ -22,6 +22,7 @@ from ..render.renderer import RenderConfig, render_rays
 from ..kernels.distortion import distortion_loss
 from ..train.schedule import OptimConfig, lr_at, smooth_l1
 from .mesh import scene_sharding, scene_ray_sharding
+from ..core.optim import guarded_step
 
 
 def init_multi_scene_params(key: jax.Array, n_scenes: int,
@@ -60,10 +61,12 @@ def build_multi_scene_step(field_cfg: NGPFieldConfig, render_cfg: RenderConfig,
 
         (loss, depth_l), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params["geo"])
-        updates, opt_state = adam.update(grads, opt_state)
+        updates, new_opt = adam.update(grads, opt_state)
         lr = lr_at(progress, geo_opt)
-        geo = jax.tree_util.tree_map(lambda p, u: p - lr * u,
-                                     params["geo"], updates)
+        new_geo = jax.tree_util.tree_map(lambda p, u: p - lr * u,
+                                         params["geo"], updates)
+        geo, opt_state, _ = guarded_step(grads, new_geo, new_opt,
+                                         params["geo"], opt_state)
         return {**params, "geo": geo}, opt_state, depth_l
 
     def init_opt_state(params):

@@ -31,6 +31,7 @@ from ..core import (
     img_coord_to_pano_direction, pano_sample,
 )
 from ..train.schedule import smooth_l1
+from ..core.optim import guarded_step
 from .interface import DepthPredictor, NormalPredictor
 
 
@@ -134,9 +135,11 @@ class PanoFusionInvPredictor:
             grads = jax.grad(loss_fn)(params)
             if not all_phase:
                 grads = {**grads, "bias": jnp.zeros_like(grads["bias"])}
-            updates, opt_state = adam.update(grads, opt_state)
-            params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
-                                            params, updates)
+            updates, new_opt = adam.update(grads, opt_state)
+            new_params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
+                                                params, updates)
+            params, opt_state, _ = guarded_step(
+                grads, new_params, new_opt, params, opt_state)
             return (params, opt_state), None
 
         @partial(jax.jit, static_argnames=("all_phase",))
@@ -230,9 +233,11 @@ class PanoFusionNormalPredictor:
             grads = jax.grad(loss_fn)(params)
             if not all_phase:
                 grads = {**grads, "bias": jnp.zeros_like(grads["bias"])}
-            updates, opt_state = adam.update(grads, opt_state)
-            params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
-                                            params, updates)
+            updates, new_opt = adam.update(grads, opt_state)
+            new_params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
+                                                params, updates)
+            params, opt_state, _ = guarded_step(
+                grads, new_params, new_opt, params, opt_state)
             return (params, opt_state), None
 
         @partial(jax.jit, static_argnames=("all_phase",))

@@ -38,6 +38,7 @@ from ..fields.sphere_field import (
     sphere_field_distance_and_grad, grads_to_normal,
 )
 from ..train.schedule import smooth_l1
+from ..core.optim import guarded_step
 from ..utils.metrics import phase_timer
 from .interface import DepthPredictor, NormalPredictor
 
@@ -326,6 +327,8 @@ class PanoJointPredictor:
                 new["bias_ld"] = loc["bias_ld"] - cfg.init_lr_local * lr_ratio * up_l["bias_ld"]
                 new["bias_ln"] = loc["bias_ln"] - cfg.init_lr_local * lr_ratio * up_l["bias_ln"]
                 ostate["local"] = st_l
+            new, ostate, _ = guarded_step(grads, new, ostate,
+                                          params, opt_state)
             return (new, ostate, key), loss
 
         if cfg.scan_chunk == 1:

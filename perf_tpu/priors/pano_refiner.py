@@ -26,6 +26,7 @@ from ..fields.sphere_field import (
     grads_to_normal,
 )
 from ..train.schedule import smooth_l1
+from ..core.optim import guarded_step
 from ..utils.metrics import phase_timer
 from .pano_joint import normal_projection_errors
 
@@ -85,12 +86,14 @@ class PanoGeoRefiner:
                 return d_loss + n_loss * cfg.normal_loss_weight
 
             grads = jax.grad(loss_fn)(params)
-            updates, opt_state = adam.update(grads, opt_state)
+            updates, new_opt = adam.update(grads, opt_state)
             progress = i / cfg.n_iters
             lr = cfg.init_lr * ((jnp.cos(progress * jnp.pi) * 0.5 + 0.5)
                                 * (1.0 - cfg.lr_alpha) + cfg.lr_alpha)
-            params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
-                                            params, updates)
+            new_params = jax.tree_util.tree_map(lambda a, u: a - lr * u,
+                                                params, updates)
+            params, opt_state, _ = guarded_step(
+                grads, new_params, new_opt, params, opt_state)
             return (params, opt_state, key), None
 
         if cfg.scan_chunk == 1:

@@ -34,6 +34,7 @@ from ..fields import (
 )
 from ..render.prop import PropRenderConfig, render_rays_prop, prop_loss
 from .schedule import lr_at, smooth_l1
+from ..core.optim import guarded_step
 from .scene import Scene, TrainConfig, pano_visibility_from_distance
 from .sup_pool import SupInfoPool
 from ..utils.metrics import MetricsWriter, phase_timer
@@ -115,13 +116,17 @@ class PropNeRFScene(Scene):
 
             (loss, (depth_l, p_l)), (g_geo, g_prop) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(geo, props)
-            up_g, opt_g = adam.update(g_geo, opt_g)
+            up_g, new_opt_g = adam.update(g_geo, opt_g)
             lr_g = lr_at(progress, tc.geo_optimizer)
-            geo = jax.tree_util.tree_map(lambda p, u: p - lr_g * u, geo, up_g)
-            up_p, opt_p = padam.update(g_prop, opt_p, props)
+            new_geo = jax.tree_util.tree_map(
+                lambda p, u: p - lr_g * u, geo, up_g)
+            up_p, new_opt_p = padam.update(g_prop, opt_p, props)
             lr_p = lr_at(progress, tc.prop_optimizer)
-            props = jax.tree_util.tree_map(lambda p, u: p - lr_p * u,
-                                           props, up_p)
+            new_props = jax.tree_util.tree_map(lambda p, u: p - lr_p * u,
+                                               props, up_p)
+            (geo, props), (opt_g, opt_p), _ = guarded_step(
+                (g_geo, g_prop), (new_geo, new_props),
+                (new_opt_g, new_opt_p), (geo, props), (opt_g, opt_p))
             return ((geo, props, opt_g, opt_p, key),
                     jnp.stack([loss, depth_l, p_l, lr_g]))
 
@@ -141,9 +146,12 @@ class PropNeRFScene(Scene):
 
             (loss, color_l), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(app)
-            updates, opt_state = adam.update(grads, opt_state)
+            updates, new_opt = adam.update(grads, opt_state)
             lr = lr_at(progress, tc.app_optimizer)
-            app = jax.tree_util.tree_map(lambda p, u: p - lr * u, app, updates)
+            new_app = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, app, updates)
+            app, opt_state, _ = guarded_step(
+                grads, new_app, new_opt, app, opt_state)
             return (app, opt_state, key), jnp.stack([loss, color_l, lr])
 
         if phase == "geo":

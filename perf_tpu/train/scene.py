@@ -25,7 +25,10 @@ Faithfully reproduced quirks (documented, load-bearing):
 - the distortion ramp uses progress measured in APP-phase iterations even
   during the geo phase (``nerf.py:178``: ``progress=iter_i / app_res_iters``),
 - torch Adam defaults (betas 0.9/0.999, eps 1e-8); the reference's
-  GradScaler(2^7) never unscales, which plain Adam absorbs, so it is omitted.
+  GradScaler(2^7) never unscales, which plain Adam absorbs — but its
+  skip-step-on-nonfinite-grads behavior IS load-bearing (one blown-up batch
+  in 75k steps poisoned the round-5 flagship record) and is reproduced via
+  ``core.optim.guarded_step`` (scalar where, no host sync).
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ from ..core import (
     Rays, apply_rot, direction_to_img_coord, bilinear_sample,
     binary_open_close,
 )
+from ..core.optim import guarded_step
 from ..fields import NGPFieldConfig, init_ngp_params, reset_geo
 from ..render import RenderConfig, render_rays, render_image
 from ..render.renderer import count_occupied_windows, render_rays_bucketed
@@ -453,10 +457,14 @@ class NeRFScene(Scene):
 
             (loss, (depth_l, dist_l)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(geo)
-            updates, opt_state = adam.update(grads, opt_state)
+            updates, new_opt = adam.update(grads, opt_state)
             lr = lr_at(progress_lr, tc.geo_optimizer)
-            geo = jax.tree_util.tree_map(lambda p, u: p - lr * u, geo, updates)
-            return (geo, opt_state, key), jnp.stack([loss, depth_l, dist_l, lr])
+            new_geo = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, geo, updates)
+            geo, opt_state, finite = guarded_step(
+                grads, new_geo, new_opt, geo, opt_state)
+            return (geo, opt_state, key), jnp.stack(
+                [loss, depth_l, dist_l, lr, finite.astype(loss.dtype)])
 
         def app_step(geo_params, occ, arrs, carry, i):
             app, opt_state, key = carry
@@ -472,10 +480,14 @@ class NeRFScene(Scene):
 
             (loss, color_l), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(app)
-            updates, opt_state = adam.update(grads, opt_state)
+            updates, new_opt = adam.update(grads, opt_state)
             lr = lr_at(progress, tc.app_optimizer)
-            app = jax.tree_util.tree_map(lambda p, u: p - lr * u, app, updates)
-            return (app, opt_state, key), jnp.stack([loss, color_l, lr])
+            new_app = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, app, updates)
+            app, opt_state, finite = guarded_step(
+                grads, new_app, new_opt, app, opt_state)
+            return (app, opt_state, key), jnp.stack(
+                [loss, color_l, lr, finite.astype(loss.dtype)])
 
         step_fn = geo_step if phase == "geo" else app_step
 
@@ -527,6 +539,17 @@ class NeRFScene(Scene):
                 if done // tc.vis_freq > (done - tc.scan_chunk) // tc.vis_freq:
                     self._write_vis(phase, done, train_params, frozen)
         losses = np.asarray(jnp.concatenate(all_losses, 0))
+
+        skipped = int((losses[:, -1] == 0.0).sum())
+        if skipped:
+            # GradScaler-style skip fired: non-finite grads in `skipped`
+            # steps were dropped instead of poisoning the params.
+            print(f"[perf_tpu] WARNING: {phase} phase skipped {skipped} "
+                  f"non-finite-grad step(s) of {n_iters}", flush=True)
+            self.writer.add_scalars(
+                {f"others/skipped_steps_{phase}": float(skipped)},
+                self.global_iter_geo if phase == "geo"
+                else self.global_iter_app)
 
         if phase == "geo":
             self.params = {**self.params, "geo": train_params}

@@ -165,6 +165,19 @@ class SupInfoPool:
     # -- registration -------------------------------------------------------
 
     def register_sup_info(self, pose, mask, rgb, distance, normal=None):
+        # Fail-loud finiteness gate: registered panos come from our own
+        # render -> predictor -> inpaint chain, so a non-finite map means an
+        # upstream numerical blowup.  Registering it anyway poisons every
+        # later episode silently (round-5 flagship record: a diverged scene
+        # rendered anchors 20-23, and 4 all-NaN panos entered the pool).
+        for name, arr in (("rgb", rgb), ("distance", distance),
+                          ("normal", normal)):
+            if arr is not None and not np.isfinite(np.asarray(arr)).all():
+                raise FloatingPointError(
+                    f"register_sup_info: non-finite values in '{name}' map "
+                    f"for pano {len(self.sup_infos)} — upstream "
+                    f"render/predictor produced NaN/inf; refusing to "
+                    f"register corrupted supervision")
         info = build_pano_sup_info(pose, mask, rgb, distance, normal)
         self.sup_infos.append(info)
         arrays = {
