@@ -7,11 +7,18 @@ GradScaler has a second, load-bearing behavior: ``scaler.step(opt)`` SKIPS
 the optimizer step whenever any gradient is inf/NaN, so a single blown-up
 batch cannot poison the parameters.
 
-That protection matters at flagship scale: the round-5 24-anchor record hit
-exactly one non-finite batch in 75,000 geo steps (episode 20, step ~61.8k,
-losses healthy at 61800 and NaN at 61900) and, without the skip, the NaN
-flowed Adam -> params -> every subsequently rendered anchor pano, corrupting
-the back 5 anchors of the artifact.
+That protection matters at flagship scale: in the round-5 24-anchor record
+a non-finite batch appeared at episode 20 (losses healthy at step 61800,
+NaN at 61900) and, without the skip, the NaN flowed Adam -> params -> every
+subsequently rendered anchor pano, corrupting the back 5 anchors.
+
+The skip alone is NOT sufficient, though: the batch NaNs traced to a
+trained-in density hotspot whose unclamped ``exp`` overflowed to inf at
+~0.04% of pool rays (BASELINE.md "TRUE root cause"), so EVERY batch was
+non-finite and the skip locked training at frozen params. The companion
+fix is forward-finiteness in the field/renderer (trunc_exp forward clamp +
+where-masks, fields/ngp.py); this guard remains as the last line of
+defense against genuinely sporadic blow-ups.
 
 TPU-native equivalent: a scalar ``all_finite(grads)`` reduction plus a
 broadcasted ``where`` over the (params, opt_state) trees — no host sync, no

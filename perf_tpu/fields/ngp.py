@@ -63,12 +63,25 @@ from .mlp import ngp_mlp_init, ngp_mlp_apply, ngp_mlp_apply_channels
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp with gradient computed at x clamped to <= 15 (torch-ngp trick)."""
-    return jnp.exp(x)
+    """exp with forward input clamped to <= 80 and gradient computed at
+    x clamped to <= 15 (torch-ngp trick, ``activation.py``).
+
+    The forward clamp is numerically free — compositing saturates
+    (alpha == 1.0 in f32) once the pre-activation passes ~11 at flagship
+    step sizes — but it guarantees a finite density for finite params.
+    Unclamped, a trained-in hotspot can push raw past 88.7 where f32
+    ``exp`` overflows to inf, and the renderer's 0/1 masks then produce
+    ``inf * 0 = NaN`` for every batch that touches the region: measured
+    in the round-5 flagship record (episode 20: loss NaN from geo iter
+    ~1600 on, 1398/3000 geo + 1447/1500 app steps guard-skipped, params
+    frozen mid-episode because the non-finite-grad skip can never fix
+    the hotspot it keeps re-hitting).
+    """
+    return jnp.exp(jnp.minimum(x, 80.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.minimum(x, 80.0)), x
 
 
 def _trunc_exp_bwd(x, g):
@@ -142,7 +155,9 @@ def query_density_coords(geo_params: dict, x, y, z,
     nx, ny, nz, sel = _normalize_coords(cfg, x, y, z)
     feats = encode_coords(geo_params["table"], nx, ny, nz, cfg.grid)
     (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
-    return trunc_exp(raw) * sel
+    # where-select, not multiply: a saturated density at a masked sample
+    # must yield 0, never inf * 0 = NaN
+    return jnp.where(sel, trunc_exp(raw), 0.0)
 
 
 def query_rgb_coords(app_params: dict, x, y, z, cfg: NGPFieldConfig):
@@ -170,7 +185,7 @@ def query_density_ray(geo_params: dict, x, y, z, cfg: NGPFieldConfig,
     # recomputable from coords, plus the saved features for the MLP grads)
     feats = checkpoint_name(feats.astype(jnp.bfloat16), "enc_feats")
     (raw,) = ngp_mlp_apply_channels(geo_params["mlp"], feats)
-    return trunc_exp(raw) * sel
+    return jnp.where(sel, trunc_exp(raw), 0.0)
 
 
 def query_rgb_ray(app_params: dict, x, y, z, cfg: NGPFieldConfig,
@@ -242,5 +257,5 @@ def query_density_field(params: dict, x: jnp.ndarray,
     sel = ((x01 > 0.0) & (x01 < 1.0)).all(axis=-1)
     feats = hash_encode(params["table"], x01, cfg.grid)
     raw = ngp_mlp_apply(params["mlp"], feats)
-    density = trunc_exp(raw - 1.0) * sel[..., None]
+    density = jnp.where(sel[..., None], trunc_exp(raw - 1.0), 0.0)
     return density.reshape(*shape, 1)

@@ -377,7 +377,9 @@ def shade_rays(params: dict, field_cfg: NGPFieldConfig,
     sigma = dens_fn(px, py, pz)
     if stop_geo_grad:
         sigma = jax.lax.stop_gradient(sigma)
-    sigma = sigma * valid
+    # where-select, not multiply: padding samples must contribute exactly
+    # 0 even if the field saturates there (inf * 0 = NaN poisons the ray)
+    sigma = jnp.where(valid > 0.0, sigma, 0.0)
 
     tau = sigma * (cfg.step * cfg.sample_stride)
     trans = jnp.exp(-_exclusive_cumsum(tau))

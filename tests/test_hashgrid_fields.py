@@ -183,3 +183,41 @@ def test_sphere_field_fits_analytic_room():
         key, k = jax.random.split(key)
         params, state, loss = step(params, state, k)
     assert float(loss) < 1e-3, float(loss)
+
+
+def test_trunc_exp_forward_clamped_finite():
+    # f32 exp overflows to inf past x ~ 88.7; the forward clamp at 80 keeps
+    # a saturated density finite (compositing already saturates alpha = 1.0
+    # by x ~ 11, so the clamp is observationally free)
+    v = float(trunc_exp(jnp.float32(200.0)))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, np.exp(80.0), rtol=1e-5)
+    np.testing.assert_allclose(float(trunc_exp(jnp.float32(10.0))),
+                               np.exp(10.0), rtol=1e-5)
+    g = jax.grad(lambda x: trunc_exp(x))(200.0)
+    assert np.isfinite(float(g))
+
+
+def _poison_geo(params):
+    """Make the density head produce a huge positive pre-activation
+    everywhere: constant-1 table features + positive MLP weights scaled so
+    raw >> 88.7 (the flagship episode-20 hotspot regime)."""
+    geo = params["geo"]
+    table = jax.tree_util.tree_map(jnp.ones_like, geo["table"])
+    ws = [jnp.abs(w) + 0.1 for w in geo["mlp"]["w"]]
+    ws[-1] = ws[-1] * 1e4
+    return {**params, "geo": {"table": table, "mlp": {"w": ws}}}
+
+
+def test_saturated_density_is_zero_outside_aabb_not_nan():
+    """Episode-20 flagship regression: a trained-in hotspot with
+    pre-activation > 88.7 used to make ``inf * sel`` = NaN at masked
+    coords; the selector must yield exactly 0 regardless of saturation."""
+    cfg = NGPFieldConfig(grid=_small_cfg())
+    params = _poison_geo(init_ngp_params(jax.random.PRNGKey(0), cfg))
+    d_in = float(query_density(params["geo"], jnp.array([[0.1, 0.2, 0.3]]),
+                               cfg)[0, 0])
+    d_out = float(query_density(params["geo"], jnp.array([[1.5, 0.0, 0.0]]),
+                                cfg)[0, 0])
+    assert np.isfinite(d_in) and d_in > 1e30   # saturated but finite
+    assert d_out == 0.0                        # masked, not NaN

@@ -199,3 +199,40 @@ def test_prop_renderer_path():
     assert (np.diff(te, axis=-1) >= -1e-6).all()
     loss = prop_loss(out["t_edges"], out["weights"], out["prop_aux"])
     assert np.isfinite(float(loss))
+
+
+def test_render_train_finite_under_saturated_field():
+    """Flagship episode-20 regression: a density hotspot whose
+    pre-activation exceeds 88.7 made ``exp`` overflow to inf, and the
+    0/1 valid/selector masks turned it into NaN for every ray touching
+    the region — locking training (every step guard-skipped, params
+    frozen mid-episode). Forward AND gradients must stay finite with a
+    fully saturated field."""
+    cfg = _tiny_field_cfg()
+    params = init_ngp_params(jax.random.PRNGKey(0), cfg)
+    geo = params["geo"]
+    params = {**params, "geo": {
+        "table": jax.tree_util.tree_map(jnp.ones_like, geo["table"]),
+        "mlp": {"w": [jnp.abs(geo["mlp"]["w"][0]) + 0.1,
+                      (jnp.abs(geo["mlp"]["w"][1]) + 0.1) * 1e4]},
+    }}
+    rcfg = _render_cfg(max_samples=64)
+    # a thin shell: rays march a few occupied windows + masked padding
+    pts = jnp.array([[0.5, 0.0, 0.0], [0.0, 0.5, 0.0]])
+    grid = occ_grid_from_points(pts, res=rcfg.occ_res)
+    o = jnp.zeros((8, 3))
+    th = jnp.linspace(0, 2 * np.pi, 8, endpoint=False)
+    d = jnp.stack([jnp.cos(th), jnp.sin(th), jnp.zeros(8)], -1)
+
+    def loss_fn(p):
+        out = render_rays(p, cfg, grid, o, d, jax.random.PRNGKey(1), rcfg,
+                          train=True, stop_app_grad=True, need_rgb=False)
+        return (jnp.mean(out["distance"]) + jnp.mean(out["dist_loss"]),
+                out)
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)), float(loss)
+    for k in ("distance", "opacity", "dist_loss"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
