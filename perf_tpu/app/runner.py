@@ -32,7 +32,7 @@ from ..fields import NGPFieldConfig
 from ..render import RenderConfig
 from ..train import (
     SupInfoPool, NeRFScene, TrainConfig, OptimConfig,
-    save_checkpoint, load_checkpoint,
+    pano_visibility_from_distance, save_checkpoint, load_checkpoint,
 )
 from ..pose import CirclePoseSampler, DenseTravelPoseSampler
 from ..inpaint import FakeInpainter, PanoPersFusionInpainter
@@ -244,7 +244,9 @@ class CoreRunner:
             dedup_ratio=float(self.conf.get_path("snapshot.dedup_ratio",
                                                  _sd.dedup_ratio)),
             frame_dispatch=bool(self.conf.get_path(
-                "snapshot.frame_dispatch", _sd.frame_dispatch)))
+                "snapshot.frame_dispatch", _sd.frame_dispatch)),
+            bake_host=bool(self.conf.get_path(
+                "snapshot.bake_host", _sd.bake_host)))
 
         # startup vis (reference core_exp_runner.py:67-72)
         write_image(pjoin(self.exp_dir, "distance_vis.png"),
@@ -364,16 +366,19 @@ class CoreRunner:
             # (flagship ablation, BASELINE.md). Reference renders these
             # through the live field (nerf.py:321-358, core_exp_runner.py:139)
             # because CUDA tcnn queries are L2-cheap; on TPU they are
-            # gather-row-bound.
-            with phase_timer(self.writer, "anchor_visibility", anchor_idx):
-                visi_mask = self.scene.get_pano_visibility_mask(
-                    self.sup_pool, rays)
-                float(visi_mask.min())      # D2H sync for truthful timing
+            # gather-row-bound. The render is shared: the visibility mask
+            # (nerf.py:321-358 renders its OWN distance pass) derives from
+            # the same deterministic snapshot render as the anchor RGB-D,
+            # so each anchor renders the pano once, not twice.
             with phase_timer(self.writer, "anchor_render", anchor_idx):
                 out = self.scene.render_snapshot(
                     rays, query_keys=("rgb", "distance"))
                 colors, distances = out["rgb"], out["distance"]
-                float(distances.max())
+                float(distances.max())      # D2H sync for truthful timing
+            with phase_timer(self.writer, "anchor_visibility", anchor_idx):
+                visi_mask = pano_visibility_from_distance(
+                    self.sup_pool, rays, distances)
+                float(visi_mask.min())
             inpaint_mask = 1.0 - visi_mask
 
             normals = None

@@ -68,6 +68,13 @@ class SnapshotConfig:
     # (tools/bench_snap_coarse.py; BASELINE.md round-5).
     march_coarse: int | None = None
     bake_chunk: int = 1 << 21   # field-eval points per bake dispatch
+    # host-side bake (pre-round-5 path): per-chunk D2H of the evals, a host
+    # scatter, then one ~456 MB H2D of the dense volume through the tunnel.
+    # The default device path keeps everything resident: occupied-corner
+    # indices come from a device nonzero over the (device) occupancy grid
+    # (ONE scalar readback), eval + scatter + pack all run on device. Same
+    # corners, same math, bitwise-equal table (tests/test_snapshot.py).
+    bake_host: bool = False
     # eval sample cap at the snapshot stride; None -> 256 // stride
     # (the field path's cap, shrunk by the sparser in-window sampling)
     max_samples: int | None = None
@@ -132,6 +139,70 @@ def _brick_pack_dense(vol: jnp.ndarray, nb: int) -> jnp.ndarray:
     return packed.reshape(nb ** 3, 64 * f).astype(jnp.bfloat16)
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("field_cfg", "chunk", "res"))
+def _bake_chunk_device(vol: jnp.ndarray, params: dict, flat_idx: jnp.ndarray,
+                       start: jnp.ndarray, n_occ: jnp.ndarray,
+                       field_cfg: NGPFieldConfig, chunk: int,
+                       res: int) -> jnp.ndarray:
+    """Eval one chunk of occupied corners and scatter into the flat volume.
+
+    ``vol`` is donated: the loop's ~27 dispatches update one resident
+    [(res+1)^3, 4] bf16 buffer in place. ``start``/``n_occ`` are traced
+    scalars so every chunk reuses one compiled program; padding slots
+    (position >= n_occ) scatter out of bounds and are dropped, so a corner
+    that IS occupied is never overwritten by padding."""
+    rp1 = res + 1
+    idx = jax.lax.dynamic_slice(flat_idx, (start,), (chunk,))
+    i = idx // (rp1 * rp1)
+    rem = idx % (rp1 * rp1)
+    j, k = rem // rp1, rem % rp1
+    span = field_cfg.aabb_max - field_cfg.aabb_min
+    scale = span / res
+    x = field_cfg.aabb_min + scale * i.astype(jnp.float32)
+    y = field_cfg.aabb_min + scale * j.astype(jnp.float32)
+    z = field_cfg.aabb_min + scale * k.astype(jnp.float32)
+    sig = query_density_coords(params["geo"], x, y, z, field_cfg)
+    r, g, b = query_rgb_coords(params["app"], x, y, z, field_cfg)
+    vals = jnp.stack([sig, r, g, b], axis=-1).astype(jnp.bfloat16)
+    valid = (start + jnp.arange(chunk, dtype=idx.dtype)) < n_occ
+    idx = jnp.where(valid, idx, rp1 ** 3)
+    return vol.at[idx].set(vals, mode="drop")
+
+
+def _bake_snapshot_device(params: dict, field_cfg: NGPFieldConfig,
+                          occ_grid: jnp.ndarray, occ_res: int,
+                          cfg: SnapshotConfig) -> jnp.ndarray:
+    """Fully device-resident bake: same occupied corners as the host path
+    (1-dilated occupancy), but the index selection (device nonzero), the
+    field evals, the scatter, and the brick pack never leave the chip.
+    Host traffic is ONE scalar (the occupied-corner count) vs the host
+    path's per-chunk D2H + ~456 MB dense-volume H2D through the tunnel."""
+    res, rp1 = cfg.res, cfg.res + 1
+    g = occ_grid.reshape(occ_res, occ_res, occ_res)
+    g = jax.lax.reduce_window(g, np.uint8(0), jax.lax.max,
+                              (3, 3, 3), (1, 1, 1), "SAME")
+    corner01 = jnp.arange(rp1, dtype=jnp.float32) / res
+    vox = jnp.clip((corner01 * occ_res).astype(jnp.int32), 0, occ_res - 1)
+    m = jnp.take(g, vox, axis=0)
+    m = jnp.take(m, vox, axis=1)
+    m = jnp.take(m, vox, axis=2)                       # [rp1, rp1, rp1]
+    n_occ = int(jax.device_get(jnp.sum(m.astype(jnp.uint32))))
+    chunk = cfg.bake_chunk
+    n_pad = max(chunk, -(-n_occ // chunk) * chunk)
+    (flat_idx,) = jnp.nonzero(m.ravel(), size=n_pad, fill_value=0)
+    flat_idx = flat_idx.astype(jnp.int32) if rp1 ** 3 < 2 ** 31 \
+        else flat_idx
+    vol = jnp.zeros((rp1 ** 3, SNAP_F), jnp.bfloat16)
+    n_occ_dev = jnp.asarray(n_occ, flat_idx.dtype)
+    for start in range(0, n_pad, chunk):
+        vol = _bake_chunk_device(vol, params, flat_idx,
+                                 jnp.asarray(start, flat_idx.dtype),
+                                 n_occ_dev, field_cfg, chunk, res)
+    return _brick_pack_dense(vol.reshape(rp1, rp1, rp1, SNAP_F),
+                             cfg.n_bricks)
+
+
 def bake_snapshot(params: dict, field_cfg: NGPFieldConfig,
                   occ_grid: jnp.ndarray, occ_res: int,
                   cfg: SnapshotConfig) -> jnp.ndarray:
@@ -140,8 +211,13 @@ def bake_snapshot(params: dict, field_cfg: NGPFieldConfig,
     Only corners whose (1-dilated) occupancy voxel is set are evaluated —
     the march never samples outside occupied windows, and the dilation
     covers interpolation support at shell boundaries. Returns the packed
-    [nb^3, 256] bf16 table.
+    [nb^3, 256] bf16 table. Default path is fully device-resident
+    (``_bake_snapshot_device``); ``cfg.bake_host`` restores the round-3/4
+    host-scatter bake (kept for A/B and as a low-HBM fallback).
     """
+    if not cfg.bake_host:
+        return _bake_snapshot_device(params, field_cfg, occ_grid, occ_res,
+                                     cfg)
     res = cfg.res
     # dilate occupancy once (device), then select corners on host
     g = occ_grid.reshape(occ_res, occ_res, occ_res)

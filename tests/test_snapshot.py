@@ -54,6 +54,26 @@ def test_snapshot_matches_field_render():
     assert scene.snapshot is None
 
 
+def test_device_bake_matches_host_bake():
+    """The round-5 device-resident bake (_bake_snapshot_device: device
+    nonzero index selection + eval + scatter + pack, ONE scalar readback)
+    must produce the exact table of the host-scatter path (bake_host=True:
+    per-chunk D2H + host scatter + dense-volume H2D) — same corners, same
+    math, bf16 cast at the same point. Bitwise equality, not tolerance."""
+    pool, _ = _make_pool(32, 64)
+    scene = _tiny_scene()
+    scene.fit(pool)
+
+    host = scene.bake_snapshot(SnapshotConfig(res=128, bake_host=True))
+    host = np.asarray(host)
+    dev = scene.bake_snapshot(SnapshotConfig(res=128, bake_host=False))
+    dev = np.asarray(dev)
+    assert host.shape == dev.shape and host.dtype == dev.dtype
+    assert np.array_equal(host, dev)
+    # and the table is non-trivial (the fit produced occupied corners)
+    assert np.abs(host.astype(np.float32)).sum() > 0
+
+
 def test_snapshot_march_coarse_override():
     """``SnapshotConfig.march_coarse`` gives the snapshot march its own
     window granularity (2-voxel sampling = march_coarse=16 + stride 16)
